@@ -1,0 +1,100 @@
+"""NMS vs a brute-force greedy reference (torchvision semantics)."""
+import numpy as np
+import jax.numpy as jnp
+
+from locov_tpu.ops import nms as N
+
+
+def _iou(bi, bj):
+    ix0, iy0 = max(bi[0], bj[0]), max(bi[1], bj[1])
+    ix1, iy1 = min(bi[2], bj[2]), min(bi[3], bj[3])
+    inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+    a = (bi[2] - bi[0]) * (bi[3] - bi[1])
+    b = (bj[2] - bj[0]) * (bj[3] - bj[1])
+    return inter / (a + b - inter) if inter > 0 else 0.0
+
+
+def _greedy_nms_ref(boxes, scores, thresh):
+    """Plain O(N^2) sequential greedy NMS — the ground truth."""
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep = []
+    for pos, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        for j in order[pos + 1:]:
+            if not suppressed[j] and _iou(boxes[i], boxes[j]) > thresh:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def _rand(rng, n, clustered=True):
+    if clustered:
+        # clusters of heavily-overlapping boxes — the hard case
+        centers = rng.rand(max(n // 8, 1), 2) * 80
+        idx = rng.randint(len(centers), size=n)
+        c = centers[idx] + rng.randn(n, 2) * 4
+    else:
+        c = rng.rand(n, 2) * 100
+    wh = rng.rand(n, 2) * 20 + 5
+    boxes = np.concatenate([c - wh / 2, c + wh / 2], 1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    return boxes, scores
+
+
+def test_nms_matches_greedy_reference(rng):
+    for trial in range(5):
+        n = [17, 100, 257, 300, 513][trial]
+        boxes, scores = _rand(rng, n)
+        valid = np.ones(n, bool)
+        keep = np.asarray(
+            N.nms_mask(jnp.array(boxes), jnp.array(scores),
+                       jnp.array(valid), 0.5))
+        got = sorted(np.nonzero(keep)[0].tolist())
+        want = _greedy_nms_ref(boxes, scores, 0.5)
+        assert got == want, f"trial {trial}: {got[:10]} vs {want[:10]}"
+
+
+def test_nms_respects_validity_mask(rng):
+    boxes, scores = _rand(rng, 64)
+    valid = np.zeros(64, bool)
+    valid[:20] = True
+    keep = np.asarray(
+        N.nms_mask(jnp.array(boxes), jnp.array(scores), jnp.array(valid),
+                   0.5))
+    assert not keep[20:].any()
+    want = _greedy_nms_ref(boxes[:20], scores[:20], 0.5)
+    assert sorted(np.nonzero(keep[:20])[0].tolist()) == want
+
+
+def test_nms_topk_returns_sorted_survivors(rng):
+    boxes, scores = _rand(rng, 120)
+    valid = np.ones(120, bool)
+    idx, ok = N.nms_topk(jnp.array(boxes), jnp.array(scores),
+                         jnp.array(valid), 0.5, 16)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    surv = _greedy_nms_ref(boxes, scores, 0.5)
+    surv_sorted = sorted(surv, key=lambda i: -scores[i])[:16]
+    assert idx[ok].tolist() == surv_sorted[:ok.sum()]
+
+
+def test_batched_nms_is_per_class(rng):
+    boxes, scores = _rand(rng, 80)
+    classes = rng.randint(0, 3, size=80)
+    valid = np.ones(80, bool)
+    keep = np.asarray(
+        N.batched_nms_mask(jnp.array(boxes), jnp.array(scores),
+                           jnp.array(classes), jnp.array(valid), 0.5))
+    for c in range(3):
+        m = classes == c
+        want = _greedy_nms_ref(boxes[m], scores[m], 0.5)
+        got = np.nonzero(keep[m])[0].tolist()
+        assert sorted(got) == want
+
+
+def test_nms_all_invalid():
+    boxes = jnp.zeros((32, 4))
+    keep = np.asarray(N.nms_mask(boxes, jnp.zeros(32), jnp.zeros(32, bool),
+                                 0.5))
+    assert not keep.any()

@@ -1,0 +1,76 @@
+"""ROIAlign vs a direct per-sample-point numpy port of the
+torchvision/detectron2 ROIAlignV2 (aligned=True) algorithm."""
+import numpy as np
+import jax.numpy as jnp
+
+from locov_tpu.ops.roi_align import roi_align, roi_align_batched
+
+
+def _bilinear(feat, y, x):
+    h, w = feat.shape[:2]
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(feat.shape[2])
+    y = min(max(y, 0.0), h - 1)
+    x = min(max(x, 0.0), w - 1)
+    y0, x0 = int(np.floor(y)), int(np.floor(x))
+    y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+    ly, lx = y - y0, x - x0
+    return (feat[y0, x0] * (1 - ly) * (1 - lx) + feat[y0, x1] * (1 - ly) * lx
+            + feat[y1, x0] * ly * (1 - lx) + feat[y1, x1] * ly * lx)
+
+
+def _roi_align_ref(feat, boxes, scale, pooled, ratio):
+    n = len(boxes)
+    c = feat.shape[2]
+    out = np.zeros((n, pooled, pooled, c))
+    for ni, box in enumerate(boxes):
+        x0 = box[0] * scale - 0.5
+        y0 = box[1] * scale - 0.5
+        bw = box[2] * scale - 0.5 - x0
+        bh = box[3] * scale - 0.5 - y0
+        bin_h, bin_w = bh / pooled, bw / pooled
+        for ph in range(pooled):
+            for pw in range(pooled):
+                acc = np.zeros(c)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        y = y0 + (ph + (iy + 0.5) / ratio) * bin_h
+                        x = x0 + (pw + (ix + 0.5) / ratio) * bin_w
+                        acc += _bilinear(feat, y, x)
+                out[ni, ph, pw] = acc / (ratio * ratio)
+    return out
+
+
+def test_roi_align_matches_reference(rng):
+    feat = rng.randn(25, 31, 5).astype(np.float32)
+    boxes = np.array([
+        [0.0, 0.0, 100.0, 100.0],
+        [13.0, 27.0, 200.0, 190.0],
+        [50.0, 50.0, 60.0, 65.0],      # small box
+        [-10.0, -10.0, 30.0, 30.0],    # partially outside
+        [300.0, 300.0, 400.0, 400.0],  # fully outside -> zeros
+    ], np.float32)
+    got = np.asarray(roi_align(jnp.array(feat), jnp.array(boxes),
+                               spatial_scale=1.0 / 8, pooled=7,
+                               sampling_ratio=2, chunk=4))
+    want = _roi_align_ref(feat, boxes, 1.0 / 8, 7, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_batched_shape(rng):
+    feat = rng.randn(2, 16, 16, 3).astype(np.float32)
+    boxes = (rng.rand(2, 10, 4) * 60).astype(np.float32)
+    boxes[..., 2:] += boxes[..., :2]
+    out = roi_align_batched(jnp.array(feat), jnp.array(boxes), 1.0 / 4,
+                            pooled=7, sampling_ratio=2, chunk=8)
+    assert out.shape == (2, 10, 7, 7, 3)
+
+
+def test_roi_align_exact_on_constant(rng):
+    """A constant feature map must pool to that constant everywhere the
+    box lies inside the map."""
+    feat = np.full((20, 20, 1), 3.25, np.float32)
+    boxes = np.array([[8.0, 8.0, 64.0, 64.0]], np.float32)
+    out = np.asarray(roi_align(jnp.array(feat), jnp.array(boxes), 0.25,
+                               pooled=7, sampling_ratio=2))
+    np.testing.assert_allclose(out, 3.25, rtol=1e-5)
