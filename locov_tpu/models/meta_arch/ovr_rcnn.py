@@ -1,0 +1,173 @@
+"""OvrRCNN: the STT-stage detector (Faster R-CNN C4 with an
+embedding-based zero-shot classifier).
+
+Behavioral port of the reference meta-arch
+(``ovr/modeling/meta_arch/ovr_rcnn.py:20-124``): backbone -> RPN ->
+EmbeddingRes5ROIHeads, training returns ``({}, losses)``; inference
+runs RPN (PRE_NMS 6000 -> NMS -> 1000) -> roi heads ->
+fast_rcnn_inference -> rescale to original image size. The whole
+train/eval step is one jittable function over static padded batches.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...structures import boxes as box_ops
+from ...structures.batches import (DetectionBatch, Detections, GtBatch,
+                                   ImageBatch, ProposalBatch)
+from ..box_predictor import (BoxPredictorConfig,
+                             fast_rcnn_inference_batched)
+from ..resnet import ResNetC4
+from ..roi_heads import (ROIHeadsConfig, Res5ROIHeads,
+                         label_and_sample_proposals, roi_heads_losses)
+from ..rpn import (RPNConfig, RPNHead, generate_cell_anchors, grid_anchors,
+                   rpn_losses, select_proposals)
+
+
+from .. import register_meta_arch
+
+
+@register_meta_arch("OvrRCNN")
+class OvrRCNN(nn.Module):
+    """cfg-derived static configuration + submodules."""
+    depth: int
+    num_groups: int
+    width_per_group: int
+    stem_out_channels: int
+    res2_out_channels: int
+    stride_in_1x1: bool
+    pixel_mean: tuple
+    pixel_std: tuple
+    rpn_cfg: RPNConfig
+    rcfg: ROIHeadsConfig
+    pcfg: BoxPredictorConfig
+    compute_dtype: jnp.dtype = jnp.float32
+    use_rpn: bool = True
+
+    @classmethod
+    def from_cfg(cls, cfg, **overrides):
+        import numpy as np
+        dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" \
+            else jnp.float32
+        kw = dict(
+            depth=cfg.MODEL.RESNETS.DEPTH,
+            num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+            width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+            stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+            res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+            stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+            pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+            pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+            rpn_cfg=RPNConfig.from_cfg(cfg),
+            rcfg=ROIHeadsConfig.from_cfg(cfg),
+            pcfg=BoxPredictorConfig.from_cfg(cfg),
+            compute_dtype=dtype)
+        kw.update(overrides)
+        return cls(**kw)
+
+    def setup(self):
+        self.backbone = ResNetC4(
+            depth=self.depth, out_features=("res4",),
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group,
+            stem_out_channels=self.stem_out_channels,
+            res2_out_channels=self.res2_out_channels,
+            stride_in_1x1=self.stride_in_1x1,
+            compute_dtype=self.compute_dtype)
+        if self.use_rpn:
+            self.rpn_head = RPNHead(
+                num_anchors=len(self.rpn_cfg.sizes) *
+                len(self.rpn_cfg.aspect_ratios),
+                conv_dim=self.res2_out_channels * 4)
+        self.roi_heads = Res5ROIHeads(
+            rcfg=self.rcfg, pcfg=self.pcfg,
+            stride_in_1x1=self.stride_in_1x1,
+            res2_out_channels=self.res2_out_channels,
+            num_groups=self.num_groups,
+            width_per_group=self.width_per_group)
+
+    # ---------------------------------------------------------------- utils
+    def preprocess(self, images: ImageBatch) -> jnp.ndarray:
+        mean = jnp.asarray(self.pixel_mean, jnp.float32)
+        std = jnp.asarray(self.pixel_std, jnp.float32)
+        x = (images.image - mean) / std
+        return x.astype(self.compute_dtype)
+
+    def run_rpn(self, features: jnp.ndarray, images: ImageBatch,
+                training: bool) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray]:
+        logits, deltas = self.rpn_head(features)
+        cell = generate_cell_anchors(self.rpn_cfg.sizes,
+                                     self.rpn_cfg.aspect_ratios)
+        anchors = grid_anchors(cell, features.shape[1], features.shape[2],
+                               self.rpn_cfg.stride, self.rpn_cfg.offset)
+        return anchors, logits.astype(jnp.float32), \
+            deltas.astype(jnp.float32)
+
+    # ---------------------------------------------------------------- train
+    def losses(self, batch: DetectionBatch, class_emb: jnp.ndarray,
+               rng: jax.Array) -> Dict[str, jnp.ndarray]:
+        """Training forward; the reference returns ``({}, losses)``
+        (ovr_rcnn.py:74), we return the loss dict."""
+        images = batch.images
+        x = self.preprocess(images)
+        features = self.backbone(x)["res4"]
+        losses = {}
+
+        if self.use_rpn:
+            anchors, logits, deltas = self.run_rpn(features, images, True)
+            rng, k = jax.random.split(rng)
+            losses.update(rpn_losses(anchors, logits, deltas, batch.gt,
+                                     self.rpn_cfg, k))
+            # proposals are fixed inputs to the second stage (d2 decodes
+            # them under no_grad)
+            proposals = select_proposals(
+                anchors, jax.lax.stop_gradient(logits),
+                jax.lax.stop_gradient(deltas), images.hw, self.rpn_cfg,
+                training=True)
+        else:
+            assert batch.proposals is not None
+            proposals = batch.proposals
+
+        rng, k = jax.random.split(rng)
+        sampled = label_and_sample_proposals(proposals, batch.gt,
+                                             self.rcfg, k)
+        box_feats = self.roi_heads.roi_features(features, sampled.boxes)
+        scores, deltas2 = self.roi_heads.predict(
+            box_feats.astype(jnp.float32), class_emb)
+        losses.update(roi_heads_losses(scores, deltas2, sampled, self.pcfg))
+        return losses
+
+    # ------------------------------------------------------------ inference
+    def inference(self, batch: DetectionBatch,
+                  class_emb: jnp.ndarray) -> Detections:
+        images = batch.images
+        x = self.preprocess(images)
+        features = self.backbone(x)["res4"]
+
+        if self.use_rpn:
+            anchors, logits, deltas = self.run_rpn(features, images, False)
+            proposals = select_proposals(anchors, logits, deltas,
+                                         images.hw, self.rpn_cfg,
+                                         training=False)
+        else:
+            assert batch.proposals is not None
+            proposals = batch.proposals
+
+        box_feats = self.roi_heads.roi_features(features, proposals.boxes)
+        scores, deltas2 = self.roi_heads.predict(
+            box_feats.astype(jnp.float32), class_emb)
+        dets = fast_rcnn_inference_batched(
+            scores, deltas2, proposals.boxes, proposals.mask, images.hw,
+            self.pcfg)
+        # detector_postprocess: rescale to original image size
+        scale = images.orig_hw.astype(jnp.float32) / \
+            images.hw.astype(jnp.float32)  # [B, 2] (h, w)
+        boxes = box_ops.scale(dets.boxes, scale[:, None, 1],
+                              scale[:, None, 0])
+        boxes = jax.vmap(box_ops.clip)(boxes, images.orig_hw)
+        return dets._replace(boxes=boxes)

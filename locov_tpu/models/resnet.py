@@ -1,0 +1,189 @@
+"""ResNet-50 C4 backbone in Flax (NHWC, TPU-native).
+
+From-scratch replacement for detectron2's ``build_resnet_backbone`` +
+``ResNet.make_stage`` (used by the reference via ``build_backbone``,
+``distill_prop_mmss_gcnn.py:105``, and for the per-head res5 block,
+``roi_emb_heads.py:230-241``). Caffe conventions are preserved so the
+published torch checkpoints can be imported: BGR pixel order handled by
+the data pipeline, ``stride_in_1x1`` bottlenecks, and FrozenBatchNorm
+(all four buffers kept as parameters for checkpoint fidelity; the
+solver masks every FrozenBN parameter out of the optimizer, matching
+``requires_grad=False`` in d2).
+
+Stage freezing (MODEL.BACKBONE.FREEZE_AT, d2 semantics: 1 = stem,
+2 = +res2, ...) is likewise enforced by the optimizer mask — see
+``locov_tpu/engine/solver.py``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# stage name -> (num_blocks for R50, stride of first block)
+R50_STAGES = {"res2": (3, 1), "res3": (4, 2), "res4": (6, 2),
+              "res5": (3, 2)}
+R101_STAGES = {"res2": (3, 1), "res3": (4, 2), "res4": (23, 2),
+               "res5": (3, 2)}
+STAGE_CHANNELS = {"res2": (64, 256), "res3": (128, 512),
+                  "res4": (256, 1024), "res5": (512, 2048)}
+STAGE_STRIDES = {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with permanently-frozen statistics and affine params
+    (d2 FrozenBatchNorm2d). All four tensors live in 'params' so torch
+    checkpoints import 1:1; none of them ever receives gradient."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros,
+                          (self.features,))
+        var = self.param("running_var", nn.initializers.ones,
+                         (self.features,))
+        scale = weight / jnp.sqrt(var + self.eps)
+        shift = bias - mean * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
+
+
+def _conv(features, kernel, stride, name, use_bias=False):
+    pad = (kernel - 1) // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(pad, pad), (pad, pad)], use_bias=use_bias,
+                   name=name,
+                   kernel_init=nn.initializers.variance_scaling(
+                       2.0, "fan_out", "truncated_normal"))
+
+
+class BottleneckBlock(nn.Module):
+    """Caffe-style bottleneck: 1x1 (stride here when stride_in_1x1) ->
+    3x3 -> 1x1, FrozenBN after each, residual add, relu."""
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    stride_in_1x1: bool = True
+    has_shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        s1 = self.stride if self.stride_in_1x1 else 1
+        s3 = 1 if self.stride_in_1x1 else self.stride
+
+        out = _conv(self.bottleneck_channels, 1, s1, "conv1")(x)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="conv1_norm")(out)
+        out = nn.relu(out)
+        out = _conv(self.bottleneck_channels, 3, s3, "conv2")(out)
+        out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
+        out = nn.relu(out)
+        out = _conv(self.out_channels, 1, 1, "conv3")(out)
+        out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
+
+        if self.has_shortcut:
+            sc = _conv(self.out_channels, 1, self.stride, "shortcut")(x)
+            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+class ResNetStage(nn.Module):
+    """A sequence of bottleneck blocks (d2 ResNet.make_stage)."""
+    num_blocks: int
+    bottleneck_channels: int
+    out_channels: int
+    first_stride: int = 2
+    stride_in_1x1: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_blocks):
+            x = BottleneckBlock(
+                bottleneck_channels=self.bottleneck_channels,
+                out_channels=self.out_channels,
+                stride=self.first_stride if i == 0 else 1,
+                stride_in_1x1=self.stride_in_1x1,
+                has_shortcut=(i == 0),
+                name=str(i))(x)
+        return x
+
+
+class ResNetStem(nn.Module):
+    """7x7/2 conv + FrozenBN + relu + 3x3/2 maxpool."""
+    out_channels: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = _conv(self.out_channels, 7, 2, "conv1")(x)
+        x = FrozenBatchNorm(self.out_channels, name="conv1_norm")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return x
+
+
+class ResNetC4(nn.Module):
+    """Stem + res2..res4 (the C4 trunk; res5 lives in the ROI heads).
+
+    Returns a dict of the requested ``out_features``.
+    """
+    depth: int = 50
+    out_features: Sequence[str] = ("res4",)
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    stride_in_1x1: bool = True
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+        x = x.astype(self.compute_dtype)
+        stages = R50_STAGES if self.depth == 50 else R101_STAGES
+        outputs = {}
+        x = ResNetStem(self.stem_out_channels, name="stem")(x)
+        if "stem" in self.out_features:
+            outputs["stem"] = x
+        last = max((s for s in self.out_features if s != "stem"),
+                   key=lambda s: STAGE_STRIDES[s])
+        for stage in ["res2", "res3", "res4", "res5"]:
+            nblocks, stride = stages[stage]
+            bc, oc = STAGE_CHANNELS[stage]
+            bc = bc * self.num_groups * self.width_per_group // 64
+            oc = oc * self.res2_out_channels // 256
+            x = ResNetStage(nblocks, bc, oc, first_stride=stride,
+                            stride_in_1x1=self.stride_in_1x1,
+                            name=stage)(x)
+            if stage in self.out_features:
+                outputs[stage] = x
+            if stage == last:
+                break
+        return outputs
+
+
+def build_res5_stage(cfg, compute_dtype=jnp.float32) -> ResNetStage:
+    """The standalone res5 block used as the C4 box head
+    (d2 ``_build_res5_block``, reference roi_emb_heads.py:217-241)."""
+    num_groups = cfg.MODEL.RESNETS.NUM_GROUPS
+    width_per_group = cfg.MODEL.RESNETS.WIDTH_PER_GROUP
+    bottleneck = num_groups * width_per_group * 8
+    out_channels = cfg.MODEL.RESNETS.RES2_OUT_CHANNELS * 8
+    return ResNetStage(
+        num_blocks=3, bottleneck_channels=bottleneck,
+        out_channels=out_channels, first_stride=2,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1, name="res5")
+
+
+def build_resnet_backbone(cfg, compute_dtype=jnp.float32) -> ResNetC4:
+    return ResNetC4(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        compute_dtype=compute_dtype)

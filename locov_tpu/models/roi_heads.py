@@ -1,0 +1,159 @@
+"""C4 ROI heads (Res5), static-shape.
+
+Re-implements the reference's ``SampleAllROIHeads`` /
+``EmbeddingRes5ROIHeads`` / ``EmbeddingProposalsRes5ROIHeads``
+(``ovr/modeling/roi_heads/roi_emb_heads.py``): IoU matching + fixed-size
+proposal sampling (the per-image python loop at roi_emb_heads.py:69-111
+becomes one vmapped masked op), ROIAlign -> shared res5 -> mean-pool ->
+embedding box predictor. The proposals variant additionally runs res5
+over the whole feature grid and returns per-image box features for the
+MMSS heads (roi_emb_heads.py:310-349).
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import matcher as matcher_ops
+from ..ops.roi_align import roi_align_batched
+from ..structures import boxes as box_ops
+from ..structures.batches import GtBatch, ProposalBatch
+from .box_predictor import (BoxPredictorConfig, EmbeddingBoxPredictor,
+                            fast_rcnn_inference_batched, fast_rcnn_losses)
+from .resnet import ResNetStage
+from .rpn import add_gt_to_proposals
+
+
+class ROIHeadsConfig(NamedTuple):
+    num_classes: int
+    batch_size_per_image: int
+    positive_fraction: float
+    iou_thresholds: tuple
+    iou_labels: tuple
+    proposal_append_gt: bool
+    pooler_resolution: int
+    pooler_sampling_ratio: int
+    feature_stride: int
+
+    @classmethod
+    def from_cfg(cls, cfg):
+        sr = cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO
+        return cls(
+            num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+            batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
+            iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),
+            proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
+            pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+            # d2 sampling_ratio 0 means adaptive (dynamic shape); we fix
+            # it at 2 samples per bin — the standard static choice.
+            pooler_sampling_ratio=sr if sr > 0 else 2,
+            feature_stride=16)
+
+
+class SampledProposals(NamedTuple):
+    boxes: jnp.ndarray       # [B, S, 4]
+    gt_classes: jnp.ndarray  # [B, S] int32, num_classes == background
+    gt_boxes: jnp.ndarray    # [B, S, 4] matched gt for box reg
+    is_fg: jnp.ndarray       # [B, S] bool ("fg_proposal" flag)
+    valid: jnp.ndarray       # [B, S] bool
+
+
+def label_and_sample_proposals(proposals: ProposalBatch, gt: GtBatch,
+                               rcfg: ROIHeadsConfig, rng: jax.Array
+                               ) -> SampledProposals:
+    """Masked equivalent of SampleAllROIHeads.label_and_sample_proposals
+    (roi_emb_heads.py:24-118): append gt, IoU-match, label fg/bg,
+    subsample to a fixed S with at most positive_fraction positives."""
+    if rcfg.proposal_append_gt:
+        proposals = add_gt_to_proposals(proposals, gt)
+    b = proposals.boxes.shape[0]
+
+    def per_image(prop_boxes, prop_mask, gt_boxes, gt_classes, gt_mask, key):
+        quality = box_ops.pairwise_iou(gt_boxes, prop_boxes)
+        midx, mlabel = matcher_ops.match(
+            quality, gt_mask, rcfg.iou_thresholds, rcfg.iou_labels)
+        cls = jnp.where(mlabel == 1, gt_classes[midx], rcfg.num_classes)
+        cls = jnp.where(mlabel == -1, -1, cls)
+
+        is_pos = (cls >= 0) & (cls < rcfg.num_classes)
+        is_neg = cls == rcfg.num_classes
+        # padding proposals can never be sampled
+        sample_label = jnp.where(prop_mask,
+                                 jnp.where(is_pos, 1,
+                                           jnp.where(is_neg, 0, -1)), -1)
+        sampled_idx, _, valid = matcher_ops.subsample_labels(
+            sample_label, rcfg.batch_size_per_image,
+            rcfg.positive_fraction, key)
+
+        s_boxes = prop_boxes[sampled_idx]
+        s_cls = jnp.where(valid, cls[sampled_idx], rcfg.num_classes)
+        s_gt_boxes = gt_boxes[midx[sampled_idx]]
+        s_fg = valid & (s_cls < rcfg.num_classes)
+        return SampledProposals(s_boxes, s_cls, s_gt_boxes, s_fg, valid)
+
+    keys = jax.random.split(rng, b)
+    return jax.vmap(per_image)(proposals.boxes, proposals.mask, gt.boxes,
+                               gt.classes, gt.mask, keys)
+
+
+class Res5ROIHeads(nn.Module):
+    """Shared res5 box head + embedding predictor. One flax module so
+    res5 parameters are shared between the ROI path and the grid path
+    (EmbeddingProposalsRes5ROIHeads calls res5 on both,
+    roi_emb_heads.py:323,327)."""
+    rcfg: ROIHeadsConfig
+    pcfg: BoxPredictorConfig
+    stride_in_1x1: bool = True
+    res2_out_channels: int = 256
+    num_groups: int = 1
+    width_per_group: int = 64
+
+    def setup(self):
+        self.res5 = ResNetStage(
+            num_blocks=3,
+            bottleneck_channels=self.num_groups * self.width_per_group * 8,
+            out_channels=self.res2_out_channels * 8,
+            first_stride=2, stride_in_1x1=self.stride_in_1x1)
+        self.box_predictor = EmbeddingBoxPredictor(self.pcfg)
+
+    def roi_features(self, features: jnp.ndarray, boxes: jnp.ndarray
+                     ) -> jnp.ndarray:
+        """ROIAlign + res5 + global mean pool.
+        features: [B, H, W, C]; boxes: [B, S, 4] -> [B, S, 2048]."""
+        b, s = boxes.shape[:2]
+        pooled = roi_align_batched(
+            features, boxes, 1.0 / self.rcfg.feature_stride,
+            pooled=self.rcfg.pooler_resolution,
+            sampling_ratio=self.rcfg.pooler_sampling_ratio)
+        pooled = pooled.reshape((b * s,) + pooled.shape[2:])
+        out = self.res5(pooled)
+        out = out.mean(axis=(1, 2))
+        return out.reshape(b, s, -1)
+
+    def grid_features(self, features: jnp.ndarray) -> jnp.ndarray:
+        """res5 over the whole image grid (shared params with the ROI
+        path)."""
+        return self.res5(features)
+
+    def predict(self, box_features: jnp.ndarray, class_emb: jnp.ndarray):
+        return self.box_predictor(box_features, class_emb)
+
+    def __call__(self, features, boxes, class_emb):
+        # default path, used for init
+        bf = self.roi_features(features, boxes)
+        return self.predict(bf, class_emb)
+
+
+def roi_heads_losses(scores, deltas, sampled: SampledProposals,
+                     pcfg: BoxPredictorConfig) -> Dict[str, jnp.ndarray]:
+    """Flatten the per-image sample dimension and apply FastRCNN losses."""
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return fast_rcnn_losses(
+        flat(scores), flat(deltas), flat(sampled.boxes),
+        flat(sampled.gt_classes), flat(sampled.gt_boxes),
+        flat(sampled.valid), pcfg)

@@ -85,9 +85,15 @@ def subsample_labels(labels: jnp.ndarray, num_samples: int,
     # random priority sort within each class; excluded entries sink
     pos_keys = jnp.where(is_pos, jax.random.uniform(k_pos, (n,)), -1.0)
     neg_keys = jnp.where(is_neg, jax.random.uniform(k_neg, (n,)), -1.0)
+    if n < num_samples:  # fewer candidates than slots: pad key arrays
+        pad = jnp.full((num_samples - n,), -1.0)
+        pos_keys = jnp.concatenate([pos_keys, pad])
+        neg_keys = jnp.concatenate([neg_keys, pad])
     # top num_samples random candidates of each kind
     _, pos_order = jax.lax.top_k(pos_keys, num_samples)
     _, neg_order = jax.lax.top_k(neg_keys, num_samples)
+    pos_order = jnp.minimum(pos_order, n - 1)
+    neg_order = jnp.minimum(neg_order, n - 1)
 
     num_pos_avail = is_pos.sum()
     num_neg_avail = is_neg.sum()
