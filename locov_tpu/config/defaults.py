@@ -126,6 +126,17 @@ def get_default_cfg() -> CN:
     # TPU addition: where BERT vocab/weights live on disk (no network access)
     _C.MODEL.LANGUAGE_BACKBONE.VOCAB_PATH = ""
     _C.MODEL.LANGUAGE_BACKBONE.WEIGHTS_PATH = ""
+    # TPU addition: architecture of the language BERT (bert-base-uncased
+    # by default; shrinkable for tests/smoke runs)
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG = CN()
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.vocab_size = 30522
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.hidden_size = 768
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.num_hidden_layers = 12
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.num_attention_heads = 12
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.intermediate_size = 3072
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.max_position_embeddings = 512
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.hidden_dropout_prob = 0.1
+    _C.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG.attention_probs_dropout_prob = 0.1
 
     # --------------------------------------------------------------- MMSS_HEAD
     _C.MODEL.MMSS_HEAD = CN()

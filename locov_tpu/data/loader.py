@@ -1,0 +1,226 @@
+"""Batching: samplers, size-bucket grouping, static padded collation.
+
+Replaces d2's ``build_detection_train_loader`` / samplers / trivial
+collate plus the reference's custom test/val loaders
+(``ovr/data/dataloader.py:11-121``). Where d2 groups by aspect ratio
+(2 groups) and pads each batch to its own max size, we group into a
+small set of STATIC (H, W) buckets so every batch shape is one of a
+few precompiled XLA programs.
+"""
+from __future__ import annotations
+
+import itertools
+import queue as queue_mod
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..structures.batches import (DetectionBatch, GtBatch, ImageBatch,
+                                  TextBatch)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((int(x) + m - 1) // m) * m
+
+
+def derive_buckets(cfg, is_train: bool) -> List[tuple]:
+    """Static (H, W) buckets from the INPUT resize config: square,
+    landscape and portrait variants aligned to SIZE_DIVISIBILITY."""
+    div = cfg.TPU.SIZE_DIVISIBILITY
+    if is_train:
+        short = max(cfg.INPUT.MIN_SIZE_TRAIN)
+        long = cfg.INPUT.MAX_SIZE_TRAIN
+    else:
+        short = cfg.INPUT.MIN_SIZE_TEST
+        long = cfg.INPUT.MAX_SIZE_TEST
+    short = round_up(min(short, long), div)
+    long = round_up(long, div)
+    if short == long:
+        return [(short, short)]
+    return [(short, short), (short, long), (long, short)]
+
+
+class TrainingSampler:
+    """Infinite shuffled index stream, sharded per host
+    (d2 TrainingSampler semantics)."""
+
+    def __init__(self, size: int, shuffle: bool = True, seed: int = 0,
+                 rank: int = 0, world_size: int = 1):
+        self.size = size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.rank = rank
+        self.world_size = world_size
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self.seed)
+        while True:
+            idx = (g.permutation(self.size) if self.shuffle
+                   else np.arange(self.size))
+            yield from idx[self.rank::self.world_size].tolist()
+
+
+class InferenceSampler:
+    """Contiguous per-host split of [0, size) (d2 InferenceSampler)."""
+
+    def __init__(self, size: int, rank: int = 0, world_size: int = 1):
+        shard = (size + world_size - 1) // world_size
+        self.begin = min(rank * shard, size)
+        self.end = min(self.begin + shard, size)
+
+    def __iter__(self):
+        return iter(range(self.begin, self.end))
+
+    def __len__(self):
+        return self.end - self.begin
+
+
+def _pad_image(img: np.ndarray, bucket) -> np.ndarray:
+    h, w = img.shape[:2]
+    bh, bw = bucket
+    out = np.zeros((bh, bw, img.shape[2]), img.dtype)
+    out[:h, :w] = img
+    return out
+
+
+def _pick_bucket(hw, buckets):
+    h, w = hw
+    fitting = [b for b in buckets if b[0] >= h and b[1] >= w]
+    if fitting:
+        return min(fitting, key=lambda b: b[0] * b[1])
+    return max(buckets, key=lambda b: b[0] * b[1])
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + arr.shape[1:], fill, arr.dtype)
+    k = min(len(arr), n)
+    if k:
+        out[:k] = arr[:k]
+    return out
+
+
+def collate(records: List[dict], bucket, gt_slots: int,
+            has_text: bool) -> DetectionBatch:
+    """Stack fixed-size records into one static DetectionBatch."""
+    images = np.stack([_pad_image(r["image"], bucket) for r in records])
+    hw = np.stack([r["hw"] for r in records])
+    orig_hw = np.stack([r["orig_hw"] for r in records])
+    image_id = np.stack([r["image_id"] for r in records])
+
+    def gt_batch(prefix):
+        boxes = np.stack([_pad_rows(r[f"{prefix}boxes"], gt_slots)
+                          for r in records])
+        classes = np.stack([_pad_rows(r[f"{prefix}classes"], gt_slots)
+                            for r in records])
+        mask = np.stack([
+            np.arange(gt_slots) < len(r[f"{prefix}boxes"])
+            for r in records])
+        return GtBatch(boxes=boxes.astype(np.float32),
+                       classes=classes.astype(np.int32), mask=mask)
+
+    gt = gt_batch("gt_")
+    gt_obj = gt_batch("gt_obj_") if "gt_obj_boxes" in records[0] else None
+
+    text = None
+    if has_text and "input_ids" in records[0]:
+        text = TextBatch(
+            input_ids=np.stack([r["input_ids"] for r in records]),
+            attention_mask=np.stack([r["attention_mask"]
+                                     for r in records]),
+            special_tokens_mask=np.stack([r["special_tokens_mask"]
+                                          for r in records]),
+            target_ids=np.stack([r["target_ids"] for r in records]),
+            mlm_mask=np.stack([r["mlm_mask"] for r in records]))
+
+    return DetectionBatch(
+        images=ImageBatch(image=images, hw=hw, orig_hw=orig_hw,
+                          image_id=image_id),
+        gt=gt, proposals=None, text=text, gt_obj=gt_obj)
+
+
+class DataLoader:
+    """Maps + bucket-groups + collates, with optional thread prefetch.
+
+    For training: infinite iterator. For eval: finite; a final partial
+    batch is filled by repeating the last record with image_id = -1 so
+    the evaluator can drop padding images.
+    """
+
+    def __init__(self, records: Sequence[dict], mapper, sampler,
+                 batch_size: int, buckets: Sequence[tuple],
+                 gt_slots: int, has_text: bool, is_train: bool,
+                 num_workers: int = 0):
+        self.records = records
+        self.mapper = mapper
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.buckets = list(buckets)
+        self.gt_slots = gt_slots
+        self.has_text = has_text
+        self.is_train = is_train
+        self.num_workers = num_workers
+
+    def __len__(self):
+        try:
+            n = len(self.sampler)
+        except TypeError:
+            raise TypeError("infinite loader has no length")
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _mapped(self):
+        it = iter(self.sampler)
+        if self.num_workers > 0:
+            yield from _thread_map(
+                lambda i: self.mapper(self.records[i]), it,
+                self.num_workers)
+        else:
+            for i in it:
+                yield self.mapper(self.records[i])
+
+    def __iter__(self) -> Iterator[DetectionBatch]:
+        queues: Dict[tuple, list] = {b: [] for b in self.buckets}
+        count = 0
+        for rec in self._mapped():
+            b = _pick_bucket(rec["hw"], self.buckets)
+            queues[b].append(rec)
+            count += 1
+            if len(queues[b]) == self.batch_size:
+                yield collate(queues[b], b, self.gt_slots, self.has_text)
+                queues[b] = []
+        # finite epoch: flush leftovers as padded batches
+        for b, rs in queues.items():
+            if not rs:
+                continue
+            while len(rs) < self.batch_size:
+                filler = dict(rs[-1])
+                filler["image_id"] = np.int64(-1)
+                rs.append(filler)
+            yield collate(rs, b, self.gt_slots, self.has_text)
+
+
+def _thread_map(fn, it, workers):
+    """Ordered parallel map over an iterator with a bounded queue."""
+    src = iter(it)
+    pending: "queue_mod.Queue" = queue_mod.Queue(maxsize=workers * 4)
+    stop = object()
+
+    def feeder():
+        for x in src:
+            slot = {"done": threading.Event(), "out": None}
+
+            def run(x=x, slot=slot):
+                slot["out"] = fn(x)
+                slot["done"].set()
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            pending.put(slot)
+        pending.put(stop)
+
+    threading.Thread(target=feeder, daemon=True).start()
+    while True:
+        slot = pending.get()
+        if slot is stop:
+            return
+        slot["done"].wait()
+        yield slot["out"]

@@ -1,0 +1,343 @@
+"""OVRTrainer: build-everything orchestration + train loop + hooks.
+
+Behavioral port of the reference trainer
+(``ovr/engine/trainer.py:37-566``): builds model / optimizer / loaders,
+runs the custom loop with init-eval (trainer.py:104-107), the hook
+schedule (timer, LR record, periodic checkpointer max_to_keep=2,
+EvalHook with best-metric save, periodic writers, trainer.py:220-291),
+per-dataset class-embedding (re)loading (trainer.py:365-407), resume
+with the key-rename fan-out map for the LSM->STT hand-off
+(trainer.py:293-363), cross-rank metric reduction (here a pmean inside
+the jitted step) and the NaN -> FloatingPointError tripwire
+(trainer.py:554-559).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DatasetCatalog, MetadataCatalog, get_register_dataset
+from ..data.loader import (DataLoader, InferenceSampler, TrainingSampler,
+                           derive_buckets)
+from ..data.mappers import DetectionMapper
+from ..data.tokenization import WordPieceTokenizer, build_tiny_vocab
+from ..evaluation.evaluator import (inference_on_caption_dataset,
+                                    inference_on_detection_dataset,
+                                    select_evaluator_type)
+from ..models import build_meta_arch
+from ..parallel import (get_mesh, make_eval_step, make_loss_eval_step,
+                        make_train_step, shard_batch)
+from ..utils.checkpoint import (Checkpointer, STT_FROM_LSM_RENAME,
+                                convert_caffe2_resnet,
+                                convert_d2_state_dict, flatten_params,
+                                load_torch_file, load_with_rename_map,
+                                unflatten_params)
+from ..utils.events import (CSVWriter, EventStorage, JSONWriter,
+                            MetricPrinter, TensorboardWriter)
+from .solver import build_optimizer, default_frozen_fn
+
+logger = logging.getLogger(__name__)
+
+LSM_ARCHS = {"DistillProposalMMSSRCNN", "DistillOnlyProposalMMSSRCNN",
+             "MMSSGridModel", "DistillMMSSGridModel"}
+
+
+def build_tokenizer(cfg) -> Optional[WordPieceTokenizer]:
+    path = cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_PATH
+    if path and os.path.exists(path):
+        return WordPieceTokenizer.from_vocab_file(path)
+    default = os.path.join(cfg.DATASETS.ROOT,
+                           "datasets_data/bert/vocab.txt")
+    if os.path.exists(default):
+        return WordPieceTokenizer.from_vocab_file(default)
+    logger.warning("No BERT vocab file found; using a tiny synthetic "
+                   "vocab (set MODEL.LANGUAGE_BACKBONE.VOCAB_PATH).")
+    return WordPieceTokenizer(build_tiny_vocab(["a", "photo", "of"]))
+
+
+class OVRTrainer:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        if cfg.TPU.DEBUG_NANS:
+            from ..utils.debug import enable_nan_debugging
+            enable_nan_debugging()
+        self.mesh = get_mesh()
+        self.is_lsm = cfg.MODEL.META_ARCHITECTURE in LSM_ARCHS
+        self.needs_text = self.is_lsm
+
+        self.model = build_meta_arch(cfg)
+        self.tokenizer = build_tokenizer(cfg) if self.needs_text else None
+        self.train_loader = self.build_train_loader(cfg)
+        self._train_iter = iter(self.train_loader)
+
+        # class embeddings for the TRAIN vocabulary (trainer.py:365-407)
+        self.class_emb = self.load_embeddings(cfg.DATASETS.TRAIN[0])
+
+        # init params from one real batch
+        first = next(self._train_iter)
+        self._first_batch = first
+        rng = jax.random.PRNGKey(max(cfg.SEED, 0))
+        self.rng = rng
+        logger.info("Initializing model parameters...")
+        self.params = jax.jit(
+            lambda b, c, k: self.model.init(k, b, c, k,
+                                            method=self.model.losses)
+        )(first, self.class_emb, rng)
+        n_params = sum(x.size for x in jax.tree.leaves(self.params))
+        logger.info("Model has %.1fM parameters", n_params / 1e6)
+
+        if cfg.MODEL.WEIGHTS:
+            self.load_pretrained(cfg.MODEL.WEIGHTS)
+
+        frozen_fn = default_frozen_fn(cfg)
+        self.optimizer, self.schedule = build_optimizer(
+            cfg, self.params, frozen_fn=frozen_fn)
+        self.opt_state = self.optimizer.init(self.params)
+
+        self.train_step = make_train_step(self.model, self.optimizer,
+                                          self.mesh)
+        self._eval_step = None
+        self._loss_eval_step = None
+
+        self.start_iter = 0
+        self.max_iter = cfg.SOLVER.MAX_ITER
+        self.storage = EventStorage(0)
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=2)
+        self.writers = [
+            MetricPrinter(self.max_iter, logger=logger.info),
+            JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
+            CSVWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.csv"),
+                      epoch_size=cfg.SOLVER.EPOCH_ITER_SIZE),
+            TensorboardWriter(cfg.OUTPUT_DIR),
+        ]
+        self._best_metric = None
+
+    # ------------------------------------------------------------ builders
+    def build_train_loader(self, cfg) -> DataLoader:
+        name = cfg.DATASETS.TRAIN[0]
+        get_register_dataset(name)(name, cfg.DATASETS.ROOT)
+        records = DatasetCatalog.get(name)
+        meta = MetadataCatalog.get(name)
+        mapper = DetectionMapper(
+            cfg, meta, is_train=True, tokenizer=self.tokenizer,
+            mlm=cfg.MODEL.MMSS_HEAD.TRANSFORMER.MASKED_LANGUAGE_MODELING,
+            seed=max(cfg.SEED, 0))
+        sampler = TrainingSampler(len(records), seed=max(cfg.SEED, 0),
+                                  rank=jax.process_index(),
+                                  world_size=jax.process_count())
+        buckets = (tuple(cfg.TPU.IMAGE_BUCKETS)
+                   if cfg.TPU.IMAGE_BUCKETS else
+                   derive_buckets(cfg, True))
+        gt_slots = (cfg.TPU.MAX_PRECOMPUTED_PROPOSALS
+                    if cfg.MODEL.LOAD_OBJ_PROPOSALS
+                    else cfg.TPU.MAX_GT_BOXES)
+        per_host = cfg.SOLVER.IMS_PER_BATCH // jax.process_count()
+        return DataLoader(records, mapper, sampler, per_host, buckets,
+                          gt_slots, has_text=self.needs_text,
+                          is_train=True,
+                          num_workers=cfg.DATALOADER.NUM_WORKERS)
+
+    def build_test_loader(self, cfg, dataset_name: str) -> DataLoader:
+        get_register_dataset(dataset_name)(dataset_name, cfg.DATASETS.ROOT)
+        records = DatasetCatalog.get(dataset_name)
+        meta = MetadataCatalog.get(dataset_name)
+        mapper = DetectionMapper(cfg, meta, is_train=False,
+                                 tokenizer=self.tokenizer,
+                                 mlm=False, seed=0)
+        sampler = InferenceSampler(len(records),
+                                   rank=jax.process_index(),
+                                   world_size=jax.process_count())
+        buckets = derive_buckets(cfg, False)
+        return DataLoader(records, mapper, sampler,
+                          max(cfg.TEST.IMS_PER_BATCH, 1), buckets,
+                          cfg.TPU.MAX_GT_BOXES,
+                          has_text=self.needs_text, is_train=False,
+                          num_workers=cfg.DATALOADER.NUM_WORKERS)
+
+    def load_embeddings(self, dataset_name: str) -> jnp.ndarray:
+        """Fetch the class-embedding matrix registered for a dataset and
+        (at eval) swap the classifier vocabulary (trainer.py:365-407).
+        Falls back to random embeddings when the embedding JSON is not
+        on disk (smoke/test runs)."""
+        get_register_dataset(dataset_name)(dataset_name,
+                                           self.cfg.DATASETS.ROOT)
+        meta = MetadataCatalog.get(dataset_name)
+        mtx = meta.get("class_emb_mtx")
+        if mtx is None:
+            k = len(meta.get("thing_classes", [])) + 1
+            logger.warning("No class embeddings for %s; using random",
+                           dataset_name)
+            mtx = np.random.RandomState(0).randn(
+                k, self.cfg.MODEL.ROI_BOX_HEAD.EMB_DIM).astype(np.float32)
+            mtx[-1] = 0.0
+        return jnp.asarray(mtx)
+
+    # ---------------------------------------------------------- checkpoints
+    def load_pretrained(self, weights: str):
+        """Load MODEL.WEIGHTS: torch .pth / Caffe2 .pkl / our orbax."""
+        if not os.path.exists(weights):
+            logger.warning("MODEL.WEIGHTS %s not found; training from "
+                           "scratch", weights)
+            return
+        if weights.endswith((".pth", ".pkl")):
+            state = load_torch_file(weights)
+            flat_src = convert_caffe2_resnet(state) \
+                if weights.endswith(".pkl") else convert_d2_state_dict(state)
+            flat_dst = flatten_params(self.params["params"])
+            merged, missing = load_with_rename_map(flat_src, flat_dst, {})
+            logger.info("Loaded %d/%d params from %s",
+                        len(flat_dst) - len(missing), len(flat_dst),
+                        weights)
+            self.params = {**self.params,
+                           "params": unflatten_params(merged)}
+        else:
+            state = self.checkpointer.load(weights)
+            self.params = state["params"]
+
+    def resume_or_load(self, resume: bool):
+        """Resume from last_checkpoint, else load MODEL.WEIGHTS with the
+        stage-transfer rename fan-out (trainer.py:293-363)."""
+        if resume and self.checkpointer.has_checkpoint():
+            name = self.checkpointer.last_checkpoint()
+            state = self.checkpointer.load(name)
+            self.params = state["params"]
+            self.opt_state = jax.tree.map(
+                jnp.asarray, state["opt_state"],
+                is_leaf=lambda x: not isinstance(x, dict))
+            self.start_iter = self.checkpointer.resume_iteration(name)
+            self.storage.iter = self.start_iter
+            logger.info("Resumed from %s at iter %d", name,
+                        self.start_iter)
+        elif self.cfg.MODEL.WEIGHTS and os.path.exists(
+                self.cfg.MODEL.WEIGHTS) and \
+                self.cfg.MODEL.WEIGHTS.endswith((".pth", ".pkl")):
+            # stage hand-off: apply the rename fan-out map
+            state = load_torch_file(self.cfg.MODEL.WEIGHTS)
+            flat_src = convert_d2_state_dict(state)
+            flat_dst = flatten_params(self.params["params"])
+            merged, _ = load_with_rename_map(flat_src, flat_dst,
+                                             STT_FROM_LSM_RENAME)
+            self.params = {**self.params,
+                           "params": unflatten_params(merged)}
+
+    # ---------------------------------------------------------------- train
+    def _next_batch(self):
+        batch = self._first_batch if self._first_batch is not None \
+            else next(self._train_iter)
+        self._first_batch = None
+        return batch
+
+    def run_step(self):
+        start = time.perf_counter()
+        batch = self._next_batch()
+        data_time = time.perf_counter() - start
+
+        self.rng, k = jax.random.split(self.rng)
+        batch = shard_batch(batch, self.mesh)
+        self.params, self.opt_state, metrics = self.train_step(
+            self.params, self.opt_state, batch, self.class_emb, k)
+
+        total = float(metrics["total_loss"])
+        if not np.isfinite(total):
+            bad = {k2: float(v) for k2, v in metrics.items()
+                   if not np.isfinite(float(v))}
+            raise FloatingPointError(
+                f"Loss became infinite or NaN at iteration="
+                f"{self.storage.iter}! Bad metrics: {bad}")
+
+        self.storage.put_scalar("data_time", data_time)
+        self.storage.put_scalar("time", time.perf_counter() - start)
+        self.storage.put_scalar(
+            "lr", float(self.schedule(self.storage.iter)))
+        for k2, v in metrics.items():
+            self.storage.put_scalar(k2, float(v))
+
+    def train(self):
+        cfg = self.cfg
+        logger.info("Starting training from iteration %d", self.start_iter)
+        if cfg.TEST.EVAL_INIT and self.start_iter == 0:
+            self.test_and_maybe_save()
+        for it in range(self.start_iter, self.max_iter):
+            self.storage.iter = it
+            self.run_step()
+            self.after_step(it)
+        # final checkpoint + eval
+        self.checkpointer.save_named(
+            "model_final", {"params": self.params,
+                            "opt_state": self.opt_state,
+                            "iteration": self.max_iter - 1})
+        return self.test_and_maybe_save(final=True)
+
+    def after_step(self, it: int):
+        cfg = self.cfg
+        if (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            self.checkpointer.save_periodic(
+                it, {"params": self.params, "opt_state": self.opt_state,
+                     "iteration": it})
+        if cfg.TEST.EVAL_PERIOD > 0 and (it + 1) % cfg.TEST.EVAL_PERIOD \
+                == 0 and it + 1 != self.max_iter:
+            self.test_and_maybe_save()
+        if (it + 1) % cfg.SOLVER.LOG_PERIOD == 0:
+            for w in self.writers:
+                w.write(self.storage)
+
+    # ----------------------------------------------------------------- test
+    def _get_eval_steps(self):
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.model, self.mesh)
+        if self._loss_eval_step is None and self.needs_text:
+            self._loss_eval_step = make_loss_eval_step(self.model,
+                                                       self.mesh)
+        return self._eval_step, self._loss_eval_step
+
+    def test_and_maybe_save(self, final: bool = False) -> Dict:
+        results = self.test(self.cfg)
+        # best-metric tracking (trainer.py:246-265, checkpoint.py:186-234)
+        metric_key = self.cfg.TEST.SAVE_MODEL_BEST_METRIC
+        flat = {}
+        for ds, res in results.items():
+            for k, v in res.items():
+                flat[f"{ds}/bbox/{k}"] = v
+                self.storage.put_scalar(f"{ds}/{k}", v) \
+                    if isinstance(v, (int, float)) else None
+        value = flat.get(metric_key)
+        if value is not None and (self._best_metric is None
+                                  or value > self._best_metric):
+            self._best_metric = value
+            self.checkpointer.save_best(
+                self.storage.iter, {"params": self.params,
+                                    "opt_state": self.opt_state,
+                                    "iteration": self.storage.iter},
+                metric_key, value)
+        return results
+
+    def test(self, cfg) -> Dict[str, Dict]:
+        eval_step, loss_step = self._get_eval_steps()
+        results = {}
+        for dataset_name in cfg.DATASETS.TEST:
+            etype = select_evaluator_type(cfg, dataset_name)
+            loader = self.build_test_loader(cfg, dataset_name)
+            class_emb = self.load_embeddings(dataset_name)
+            res = {}
+            if etype in ("ovr", "loss_and_coco", "loss_and_lvis") and \
+                    cfg.TEST.DO_EVAL and loss_step is not None:
+                metrics, losses = inference_on_caption_dataset(
+                    loss_step, self.params, loader, class_emb, self.rng)
+                res.update(metrics)
+                res.update(losses)
+            if etype != "ovr":
+                det = inference_on_detection_dataset(
+                    eval_step, self.params, loader, class_emb,
+                    dataset_name)
+                res.update(det)
+            results[dataset_name] = res
+            logger.info("Results for %s: %s", dataset_name,
+                        {k: round(v, 3) for k, v in res.items()
+                         if isinstance(v, float) and "-" not in k})
+        return results

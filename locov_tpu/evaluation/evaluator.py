@@ -1,0 +1,164 @@
+"""Evaluation orchestration.
+
+Port of ``ovr/evaluation/evaluator.py``: evaluator selection by
+meta-arch/dataset (``select_and_build_evaluator``, :25-67), dispatch by
+evaluation type (:70-96), and the loss-only caption-eval loop with
+warmup-aware timing (``inference_on_caption_ovr_dataset``, :99-196).
+Detection eval runs the jitted inference step over a static loader and
+feeds per-image detections into the from-scratch COCO evaluator; padded
+images (image_id == -1) are dropped. Also reproduces the reference's
+seen/unseen mean-AP50 summary (custom_coco_eval.py:96-137).
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+import time
+from collections import OrderedDict
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..data.catalog import MetadataCatalog
+from .coco_eval import COCOEvaluatorTPU
+
+logger = logging.getLogger(__name__)
+
+GRID_ARCHS = {"MMSSGridModel", "DistillMMSSGridModel",
+              "DistillMMSSMixTokensGridModel",
+              "HierarchicalDistillMMSSGridModel"}
+LOSS_AND_DET_ARCHS = {"DistillProposalMMSSRCNN",
+                      "DistillProposalMMSSMixTokensRCNN",
+                      "DistillOnlyProposalMMSSRCNN",
+                      "HierarchicalDistillProposalMMSSRCNN"}
+
+
+def build_coco_evaluator(dataset_name: str) -> COCOEvaluatorTPU:
+    """Build the COCO evaluator from a registered dataset's gt."""
+    from ..data.catalog import DatasetCatalog
+    records = DatasetCatalog.get(dataset_name)
+    meta = MetadataCatalog.get(dataset_name)
+    id_map = meta.thing_dataset_id_to_contiguous_id
+    inv = {v: k for k, v in id_map.items()}
+    gts = []
+    for r in records:
+        for a in r["annotations"]:
+            gts.append({
+                "image_id": r["image_id"],
+                "category_id": inv[a["category_id"]],
+                "bbox": a["bbox"], "area": a["area"],
+                "iscrowd": a.get("iscrowd", 0),
+            })
+    cat_ids = [inv[i] for i in range(len(meta.thing_classes))]
+    return COCOEvaluatorTPU(gts, [r["image_id"] for r in records],
+                            cat_ids, list(meta.thing_classes))
+
+
+def select_evaluator_type(cfg, dataset_name: str) -> str:
+    """Reference selection logic (evaluator.py:25-67)."""
+    if cfg.MODEL.META_ARCHITECTURE in GRID_ARCHS:
+        return "ovr"
+    etype = "lvis" if "lvis" in dataset_name else "coco"
+    if cfg.MODEL.META_ARCHITECTURE in LOSS_AND_DET_ARCHS:
+        etype = "loss_and_" + etype
+    return etype
+
+
+def inference_on_detection_dataset(eval_step, params, loader, class_emb,
+                                   dataset_name: str,
+                                   per_category: bool = True
+                                   ) -> Dict[str, float]:
+    """Run jitted inference over the loader, accumulate COCO metrics."""
+    evaluator = build_coco_evaluator(dataset_name)
+    meta = MetadataCatalog.get(dataset_name)
+    id_map = meta.thing_dataset_id_to_contiguous_id
+    inv = np.zeros(max(id_map.values()) + 1, np.int64)
+    for did, cid in id_map.items():
+        inv[cid] = did
+
+    total = len(loader)
+    num_warmup = min(5, total - 1)
+    start = time.perf_counter()
+    compute_time = 0.0
+    n_images = 0
+    for idx, batch in enumerate(loader):
+        t0 = time.perf_counter()
+        dets = eval_step(params, batch, class_emb)
+        dets = jax.tree.map(np.asarray, jax.device_get(dets))
+        compute_time += time.perf_counter() - t0
+        ids = np.asarray(batch.images.image_id)
+        for i, img_id in enumerate(ids):
+            if img_id < 0:
+                continue  # loader padding
+            m = dets.mask[i]
+            if not m.any():
+                continue
+            evaluator.process(int(img_id), dets.boxes[i][m],
+                              dets.scores[i][m],
+                              inv[dets.classes[i][m]])
+            n_images += 1
+        if idx == num_warmup:
+            compute_time = 0.0
+            start = time.perf_counter()
+
+    elapsed = time.perf_counter() - start
+    denom = max(n_images - num_warmup, 1)
+    logger.info(
+        "Total inference time: %s (%.6f s / img)",
+        datetime.timedelta(seconds=int(elapsed)), elapsed / denom)
+    results = evaluator.summarize(per_category=per_category)
+    results["images_per_second"] = denom / max(elapsed, 1e-9)
+    return add_seen_unseen_summary(results, meta)
+
+
+def add_seen_unseen_summary(results: Dict[str, float],
+                            meta) -> Dict[str, float]:
+    """Seen/unseen mean AP50 (CustomCOCOEvaluator,
+    custom_coco_eval.py:96-137)."""
+    from ..data.datasets.coco import categories_seen, categories_unseen
+    seen = {c["name"] for c in categories_seen}
+    unseen = {c["name"] for c in categories_unseen}
+    names = list(getattr(meta, "thing_classes", []))
+    for tag, group in (("seen", seen), ("unseen", unseen)):
+        vals = [results.get(f"AP50-{n}") for n in names if n in group]
+        vals = [v for v in vals if v is not None and not np.isnan(v)]
+        if vals:
+            results[f"AP50-{tag}"] = float(np.mean(vals))
+        avals = [results.get(f"AP-{n}") for n in names if n in group]
+        avals = [v for v in avals if v is not None and not np.isnan(v)]
+        if avals:
+            results[f"AP-{tag}"] = float(np.mean(avals))
+    return results
+
+
+def inference_on_caption_dataset(loss_step, params, loader, class_emb,
+                                 rng) -> Tuple[Dict, Dict]:
+    """Loss-only eval pass (inference_on_caption_ovr_dataset,
+    evaluator.py:99-196): average loss/metric dicts over the loader."""
+    totals: Dict[str, float] = {}
+    n = 0
+    total = len(loader)
+    num_warmup = min(5, total - 1)
+    start = time.perf_counter()
+    compute = 0.0
+    for idx, batch in enumerate(loader):
+        t0 = time.perf_counter()
+        rng, k = jax.random.split(rng)
+        metrics = loss_step(params, batch, class_emb, k)
+        metrics = {key: float(v) for key, v in metrics.items()}
+        compute += time.perf_counter() - t0
+        loss_total = sum(v for key, v in metrics.items()
+                         if "loss" in key.lower())
+        metrics["Total Loss"] = loss_total
+        for key, v in metrics.items():
+            totals[key] = totals.get(key, 0.0) + v
+        n += 1
+    elapsed = time.perf_counter() - start
+    logger.info("Loss-eval time: %s (%.4f s/batch compute)",
+                datetime.timedelta(seconds=int(elapsed)),
+                compute / max(n - num_warmup, 1))
+    avg = {k: v / max(n, 1) for k, v in totals.items()}
+    losses = {k: v for k, v in avg.items() if "loss" in k.lower()}
+    metrics = {k: v for k, v in avg.items() if "loss" not in k.lower()}
+    return metrics, losses

@@ -16,6 +16,7 @@ def build_meta_arch(cfg, **overrides):
     name = cfg.MODEL.META_ARCHITECTURE
     # imported lazily to avoid import cycles
     from .meta_arch import ovr_rcnn  # noqa: F401
+    from .meta_arch import mmss_gcnn  # noqa: F401
     if name not in META_ARCH_REGISTRY:
         raise KeyError(f"Unknown META_ARCHITECTURE: {name}; "
                        f"available: {sorted(META_ARCH_REGISTRY)}")

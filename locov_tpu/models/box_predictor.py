@@ -72,15 +72,28 @@ class EmbeddingBoxPredictor(nn.Module):
     pcfg: BoxPredictorConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, class_emb: jnp.ndarray
+    def __call__(self, x: jnp.ndarray, class_emb: jnp.ndarray,
+                 emb_override: jnp.ndarray = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """x: [..., C_in]. Returns (scores [..., K+1], deltas [..., 4])."""
+        """x: [..., C_in]. Returns (scores [..., K+1], deltas [..., 4]).
+
+        emb_override: pre-projected embeddings from a shared (tied)
+        v2l_projection; when given, the internal emb_pred is bypassed —
+        the functional analogue of the weight tie at
+        distill_prop_mmss_gcnn.py:117-125."""
         deltas = nn.Dense(4, kernel_init=nn.initializers.normal(0.001),
                           name="bbox_pred")(x)
 
         cls_in = jax.lax.stop_gradient(x) if self.pcfg.detach_cls_predictor \
             else x
-        if self.pcfg.embedding_based:
+        if emb_override is not None:
+            emb = jax.lax.stop_gradient(emb_override) \
+                if self.pcfg.detach_cls_predictor else emb_override
+            if self.pcfg.normalize_emb:
+                emb = normalize_vec(emb)
+            if self.pcfg.standardize_emb:
+                emb = standardize_vec(emb)
+        elif self.pcfg.embedding_based:
             emb = nn.Dense(self.pcfg.emb_dim,
                            kernel_init=nn.initializers.normal(0.01),
                            name="emb_pred")(cls_in)

@@ -1,0 +1,179 @@
+"""TransformerHead: multimodal BERT-style encoder with MLM + matching.
+
+Behavioral port of the reference
+(``ovr/modeling/mmss_heads/transformer_head.py:21-307``): projected
+region features + location embeddings are concatenated with caption
+token embeddings; a small BERT encoder (6L/8H in coco_lsm.yaml) encodes
+every (caption, image) pair in the batch; the pooled [CLS] state scores
+pair matching (bi_seq_relationship[:, 0] -> BxB cost, :208-215) and the
+diagonal pairs' token states drive masked-language-modeling CE
+(:187-206). TPU restructurings:
+
+- pair construction is index-gather (no BxB .repeat() materialization
+  of embeddings; only the joint sequence tensor is BxB),
+- the MLM decoder (hidden x 30522 vocab matmul) runs ONLY on the B
+  diagonal pairs instead of all B^2 (the reference computes all and
+  then takes the diagonal, transformer_head.py:188-194 — identical
+  math, ~B'x fewer FLOPs on the largest matmul),
+- the unused image-prediction head is skipped when MVM_LOSS == ''
+  (the reference computes it then freezes its params, :49-57),
+- optional chunking over caption rows keeps the B^2 encoder pass
+  inside a bounded-memory lax.map.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...structures.batches import CaptionFeatures, RegionFeatures
+from ..bert import (BertConfig, BertEncoder, BertLMHead, BertPooler,
+                    _dense)
+
+
+class TransformerHeadConfig(NamedTuple):
+    bert: BertConfig
+    mlm: bool = True
+    mlm_validation: bool = True
+    mvm_loss: str = ""
+    mmm_loss: str = "cross_entropy"
+    return_dist: bool = False
+    pairwise_chunk: int = 0
+
+    @classmethod
+    def from_cfg(cls, cfg):
+        t = cfg.MODEL.MMSS_HEAD.TRANSFORMER
+        return cls(
+            bert=BertConfig.from_cfg_node(t.BERT_CONFIG),
+            mlm=t.MASKED_LANGUAGE_MODELING,
+            mlm_validation=t.MASKED_LANGUAGE_MODELING_VALIDATION,
+            mvm_loss=t.MVM_LOSS,
+            mmm_loss=t.MMM_LOSS,
+            return_dist=cfg.MODEL.MMSS_HEAD.DISTILLATION_LOSS,
+            pairwise_chunk=cfg.TPU.PAIRWISE_CHUNK)
+
+
+class VisualEmbedding(nn.Module):
+    """linear(img) + linear(loc) -> LN -> dropout
+    (transformer_head.py:284-303)."""
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, features, loc, deterministic=True):
+        img = _dense(self.cfg, self.cfg.hidden_size,
+                     "image_embeddings")(features)
+        pos = _dense(self.cfg, self.cfg.hidden_size,
+                     "image_location_embeddings")(loc)
+        x = nn.LayerNorm(epsilon=1e-12, name="norm")(img + pos)
+        return nn.Dropout(self.cfg.hidden_dropout_prob)(
+            x, deterministic=deterministic)
+
+
+class TransformerHead(nn.Module):
+    tcfg: TransformerHeadConfig
+    v_dim: int
+    l_dim: int
+    loc_dim: int = 2
+    external_projection: bool = False
+
+    @nn.compact
+    def __call__(self, image: RegionFeatures, caption: CaptionFeatures,
+                 word_embeddings: jnp.ndarray,
+                 deterministic: bool = True):
+        t = self.tcfg
+        c = t.bert
+        caption_emb = caption.encoded_tokens          # [B, W, D]
+        caption_mask = caption.attention_mask.astype(jnp.float32)
+        target_ids = jnp.where(caption.mlm_mask > 0, caption.target_ids, -1)
+
+        b, max_w = caption_mask.shape
+        max_r = image.mask.shape[1]
+
+        if self.external_projection:
+            image_emb = image.features
+        else:
+            image_emb = nn.Dense(self.l_dim, name="v2l_projection")(
+                image.features)
+        image_emb = VisualEmbedding(c, name="visual_emb")(
+            image_emb, image.loc, deterministic)   # [B, R, D]
+        region_mask = image.mask.astype(jnp.float32)
+
+        encoder = BertEncoder(c, name="encoder")
+        pooler = BertPooler(c, name="pooler")
+        bi_seq = _dense(c, 2, "bi_seq_relationship")
+
+        if t.mmm_loss == "cross_entropy":
+            # all BxB (caption, image) joint sequences; gather indices
+            # instead of repeating the underlying embeddings
+            cap_idx = jnp.repeat(jnp.arange(b), b)   # pair k: caption k//b
+            img_idx = jnp.tile(jnp.arange(b), b)     # pair k: image  k%b
+
+            def encode_pairs(ci, ii):
+                tokens = jnp.concatenate(
+                    [caption_emb[ci], image_emb[ii]], axis=1)
+                mask = jnp.concatenate(
+                    [caption_mask[ci], region_mask[ii]], axis=1)
+                seq = encoder(tokens, mask, deterministic=deterministic)
+                pooled = pooler(seq)
+                return seq, pooled
+
+            if t.pairwise_chunk and t.pairwise_chunk < b * b:
+                nchunk = (b * b) // t.pairwise_chunk
+                ci = cap_idx.reshape(nchunk, -1)
+                ii = img_idx.reshape(nchunk, -1)
+                seq_out, pooled = jax.lax.map(
+                    lambda ab: encode_pairs(ab[0], ab[1]), (ci, ii))
+                seq_out = seq_out.reshape((b * b,) + seq_out.shape[2:])
+                pooled = pooled.reshape(b * b, -1)
+            else:
+                seq_out, pooled = encode_pairs(cap_idx, img_idx)
+
+            scores = bi_seq(pooled)                      # [B*B, 2]
+            pw_cost = scores[:, 0].reshape(b, b)
+            # MLM on diagonal pairs only (identical to taking the
+            # diagonal of the full [B, B, W, V] tensor)
+            diag = jnp.arange(b) * b + jnp.arange(b)
+            seq_t_diag = seq_out[diag, :max_w]           # [B, W, D]
+        elif t.mmm_loss == "":
+            tokens = jnp.concatenate([caption_emb, image_emb], axis=1)
+            mask = jnp.concatenate([caption_mask, region_mask], axis=1)
+            seq = encoder(tokens, mask, deterministic=deterministic)
+            pw_cost = None
+            seq_t_diag = seq[:, :max_w]
+        else:
+            raise NotImplementedError(t.mmm_loss)
+
+        lm_logits = BertLMHead(c, name="predictions")(
+            seq_t_diag, word_embeddings)                 # [B, W, V]
+        from ...ops.losses import mean_cross_entropy
+        masked_lm_loss = mean_cross_entropy(lm_logits, target_ids,
+                                            ignore_index=-1)
+
+        losses: Dict[str, jnp.ndarray] = {
+            "Masked Language Modeling Loss": masked_lm_loss}
+        other: Dict[str, jnp.ndarray] = {}
+
+        acc_num = ((lm_logits.argmax(-1) == target_ids)
+                   & (target_ids >= 0)).sum().astype(jnp.float32)
+        acc_den = (target_ids >= 0).sum().astype(jnp.float32)
+        other["Masked Language Modeling Accuracy"] = jnp.where(
+            acc_den > 0, acc_num / jnp.maximum(acc_den, 1.0), 0.0)
+
+        if t.mmm_loss == "cross_entropy":
+            lc = jax.nn.log_softmax(-pw_cost, axis=0)
+            li = jax.nn.log_softmax(-pw_cost, axis=1)
+            losses["Image Caption Matching Loss"] = (
+                -jnp.diagonal(lc).mean() - jnp.diagonal(li).mean())
+            arange = jnp.arange(b)
+            other["Batch Accuracy (Choose Caption)"] = \
+                (pw_cost.argmin(axis=0) == arange).mean()
+            other["Batch Accuracy (Choose Image)"] = \
+                (pw_cost.argmin(axis=1) == arange).mean()
+        else:
+            losses["Image Caption Matching Loss"] = jnp.float32(0.0)
+
+        if t.return_dist:
+            return other, losses, {"trans": pw_cost}
+        return other, losses

@@ -8,6 +8,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# persistent compilation cache: test shapes are stable across runs, so
+# reruns skip XLA compilation entirely
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
