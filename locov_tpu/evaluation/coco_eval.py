@@ -1,18 +1,22 @@
-"""From-scratch COCO bbox evaluation (mAP) in vectorized numpy.
+"""From-scratch COCO bbox evaluation (mAP): numpy + native C++ core.
 
 Replaces pycocotools' ``COCOeval`` C/Cython path for the bbox task (the
 reference consumes it through d2's COCOEvaluator,
-``ovr/evaluation/evaluator.py:16-17``; mask/keypoint tasks are not used
-by this framework). Semantics follow the published COCO protocol
-exactly: IoU thresholds .50:.05:.95, 101-point interpolated precision,
-area ranges all/small/medium/large, maxDets (1, 10, 100), crowd gts
-matched by intersection-over-detection-area and excluded from both TP
-and FP, score-desc stable sorting with the original tie-breaking.
-Also provides the per-category table and seen/unseen mean AP50s the
-reference's CustomCOCOEvaluator adds (custom_coco_eval.py:67-137).
+``ovr/evaluation/evaluator.py:16-17``). Semantics follow the COCO
+protocol exactly: IoU thresholds .50:.05:.95, 101-point interpolated
+precision, area ranges, maxDets (1, 10, 100), crowd gts matched by
+intersection-over-detection-area, stable score-desc sorting.
+
+Matching is computed ONCE per (image, category) cell for all IoU
+thresholds and area ranges at the largest maxDet — greedy matching in
+score order is prefix-stable, so smaller maxDets are prefixes — and
+runs in the native library (``locov_tpu/native/cocoeval.cpp``) when
+built, with a semantically-identical numpy fallback.
 """
 from __future__ import annotations
 
+import ctypes
+import os
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -28,11 +32,46 @@ AREA_RNGS = {
 }
 MAX_DETS = (1, 10, 100)
 
+_NATIVE = None
+
+
+def _load_native():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    path = os.path.abspath(os.path.join(native_dir, "libcocoeval.so"))
+    src = os.path.abspath(os.path.join(native_dir, "cocoeval.cpp"))
+    try:
+        if (not os.path.exists(path)
+                or os.path.getmtime(path) < os.path.getmtime(src)):
+            import subprocess
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", path, src],
+                check=True, capture_output=True)
+    except Exception:
+        pass
+    try:
+        lib = ctypes.CDLL(os.path.abspath(path))
+        lib.coco_match_cell.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8)]
+        _NATIVE = lib
+    except OSError:
+        _NATIVE = False
+    return _NATIVE or None
+
 
 def _iou_xyxy(dt: np.ndarray, gt: np.ndarray,
               iscrowd: np.ndarray) -> np.ndarray:
-    """[D, G] IoU; crowd gt uses intersection / det-area (pycocotools
-    maskUtils.iou semantics)."""
+    """[D, G] IoU; crowd gt uses intersection / det-area."""
     if len(dt) == 0 or len(gt) == 0:
         return np.zeros((len(dt), len(gt)))
     lt = np.maximum(dt[:, None, :2], gt[None, :, :2])
@@ -46,13 +85,72 @@ def _iou_xyxy(dt: np.ndarray, gt: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-class COCOEvaluatorTPU:
-    """Accumulates detections and computes COCO bbox metrics.
+def _match_cell_numpy(ious, g_ignore_per_area, g_crowd, d_area,
+                      area_lo, area_hi):
+    """Greedy matching for one (image, category): returns
+    (dtm [A, T, D] bool, dtig [A, T, D] bool)."""
+    D, G = ious.shape
+    A = g_ignore_per_area.shape[0]
+    T = len(IOU_THRS)
+    dtm = np.zeros((A, T, D), bool)
+    dtig = np.zeros((A, T, D), bool)
+    for a in range(A):
+        gig = g_ignore_per_area[a]
+        order = np.argsort(gig, kind="mergesort")
+        out_of_rng = (d_area < area_lo[a]) | (d_area > area_hi[a])
+        for t, thr in enumerate(IOU_THRS):
+            gtm = np.full(G, -1)
+            for d in range(D):
+                best = min(thr, 1 - 1e-10)
+                m = -1
+                for g in order:
+                    if gtm[g] >= 0 and not g_crowd[g]:
+                        continue
+                    if m > -1 and not gig[m] and gig[g]:
+                        break
+                    if ious[d, g] < best:
+                        continue
+                    best = ious[d, g]
+                    m = g
+                if m == -1:
+                    dtig[a, t, d] = out_of_rng[d]
+                    continue
+                dtm[a, t, d] = True
+                dtig[a, t, d] = gig[m]
+                gtm[m] = d
+    return dtm, dtig
 
-    gts: list of dicts {image_id, category_id, bbox [x0,y0,x1,y1],
-         area, iscrowd, ignore(optional)}
-    image_ids: the full evaluated image set (images with no gt count).
-    """
+
+def _match_cell(ious, g_ignore_per_area, g_crowd, d_area,
+                area_lo, area_hi):
+    lib = _load_native()
+    if lib is None:
+        return _match_cell_numpy(ious, g_ignore_per_area, g_crowd,
+                                 d_area, area_lo, area_hi)
+    D, G = ious.shape
+    A = g_ignore_per_area.shape[0]
+    T = len(IOU_THRS)
+    ious_c = np.ascontiguousarray(ious, np.float64)
+    gig_c = np.ascontiguousarray(g_ignore_per_area, np.uint8)
+    gcr_c = np.ascontiguousarray(g_crowd, np.uint8)
+    da_c = np.ascontiguousarray(d_area, np.float64)
+    lo_c = np.ascontiguousarray(area_lo, np.float64)
+    hi_c = np.ascontiguousarray(area_hi, np.float64)
+    thr_c = np.ascontiguousarray(IOU_THRS, np.float64)
+    dtm = np.zeros((A, T, D), np.uint8)
+    dtig = np.zeros((A, T, D), np.uint8)
+    p = lambda arr, ty: arr.ctypes.data_as(ctypes.POINTER(ty))
+    lib.coco_match_cell(
+        p(ious_c, ctypes.c_double), D, G,
+        p(gig_c, ctypes.c_uint8), p(gcr_c, ctypes.c_uint8),
+        p(da_c, ctypes.c_double), p(lo_c, ctypes.c_double),
+        p(hi_c, ctypes.c_double), A, p(thr_c, ctypes.c_double), T,
+        p(dtm, ctypes.c_uint8), p(dtig, ctypes.c_uint8))
+    return dtm.astype(bool), dtig.astype(bool)
+
+
+class COCOEvaluatorTPU:
+    """Accumulates detections and computes COCO bbox metrics."""
 
     def __init__(self, gts: List[dict], image_ids: Sequence,
                  category_ids: Sequence,
@@ -70,26 +168,25 @@ class COCOEvaluatorTPU:
 
     def process(self, image_id, boxes: np.ndarray, scores: np.ndarray,
                 category_ids: np.ndarray):
-        """Add detections for one image (boxes XYXY, original coords)."""
         for b, s, c in zip(boxes, scores, category_ids):
             self._dts[(image_id, int(c))].append(
                 {"bbox": np.asarray(b, np.float64), "score": float(s)})
 
     # ------------------------------------------------------------ evaluate
-    def _evaluate_img(self, img_id, cat_id, max_det: int):
-        """Per (image, category) matching at all IoU thresholds and the
-        'all' area range; area filtering happens at accumulate time via
-        the returned areas. Returns None if no gt and no dt."""
+    def _eval_cell(self, img_id, cat_id, max_det: int):
+        """Returns None or dict(dtm [A,T,D], dtig [A,T,D], scores [D],
+        npig [A])."""
         gts = self._gts.get((img_id, cat_id), [])
         dts = self._dts.get((img_id, cat_id), [])
         if not gts and not dts:
             return None
         g_boxes = np.array([g["bbox"] for g in gts],
                            np.float64).reshape(-1, 4)
-        g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts])
-        g_ignore_base = np.array(
+        g_crowd = np.array([bool(g.get("iscrowd", 0)) for g in gts],
+                           bool)
+        g_ig0 = np.array(
             [bool(g.get("ignore", 0)) or bool(g.get("iscrowd", 0))
-             for g in gts])
+             for g in gts], bool)
         g_area = np.array([g.get(
             "area", (g["bbox"][2] - g["bbox"][0])
             * (g["bbox"][3] - g["bbox"][1])) for g in gts], np.float64)
@@ -102,57 +199,17 @@ class COCOEvaluatorTPU:
         d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * \
             (d_boxes[:, 3] - d_boxes[:, 1])
 
-        ious = _iou_xyxy(d_boxes, g_boxes, g_crowd)
-        return dict(g_ignore_base=g_ignore_base, g_crowd=g_crowd,
-                    g_area=g_area, d_scores=d_scores, d_area=d_area,
-                    ious=ious)
+        rngs = np.array(list(AREA_RNGS.values()))
+        lo, hi = rngs[:, 0], rngs[:, 1]
+        gig_a = g_ig0[None, :] | (g_area[None, :] < lo[:, None]) | \
+            (g_area[None, :] > hi[:, None])
 
-    def _match(self, ev, area_rng) -> Tuple[np.ndarray, np.ndarray,
-                                            np.ndarray, int]:
-        """pycocotools evaluateImg matching for one area range.
-        Returns (dt_matched [T, D], dt_ignore [T, D], scores [D], npig)."""
-        g_ig = ev["g_ignore_base"] | (ev["g_area"] < area_rng[0]) | \
-            (ev["g_area"] > area_rng[1])
-        # gt processing order: non-ignored first (stable)
-        gt_order = np.argsort(g_ig, kind="mergesort")
-        ious = ev["ious"][:, gt_order]
-        g_ig_s = g_ig[gt_order]
-        g_crowd_s = ev["g_crowd"][gt_order]
-        D = ious.shape[0]
-        G = ious.shape[1]
-        T = len(IOU_THRS)
-        dtm = np.zeros((T, D), bool)
-        dt_ig = np.zeros((T, D), bool)
-        for ti, thr in enumerate(IOU_THRS):
-            gtm = np.full(G, -1)
-            for di in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                m = -1
-                for gi in range(G):
-                    if gtm[gi] >= 0 and not g_crowd_s[gi]:
-                        continue
-                    # gts sorted: once we hit ignored gts while holding
-                    # a non-ignored match, stop
-                    if m > -1 and not g_ig_s[m] and g_ig_s[gi]:
-                        break
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    m = gi
-                if m == -1:
-                    continue
-                dt_ig[ti, di] = g_ig_s[m]
-                dtm[ti, di] = True
-                gtm[m] = di
-            # unmatched dets outside the area range are ignored
-            out = (ev["d_area"] < area_rng[0]) | \
-                (ev["d_area"] > area_rng[1])
-            dt_ig[ti] = dt_ig[ti] | (~dtm[ti] & out)
-        npig = int((~g_ig).sum())
-        return dtm, dt_ig, ev["d_scores"], npig
+        ious = _iou_xyxy(d_boxes, g_boxes, g_crowd)
+        dtm, dtig = _match_cell(ious, gig_a, g_crowd, d_area, lo, hi)
+        npig = (~gig_a).sum(axis=1)
+        return dict(dtm=dtm, dtig=dtig, scores=d_scores, npig=npig)
 
     def accumulate(self) -> Dict[str, np.ndarray]:
-        """precision [T, R, K, A, M] and recall [T, K, A, M]."""
         K = len(self.cat_ids)
         A = len(AREA_RNGS)
         M = len(MAX_DETS)
@@ -160,29 +217,31 @@ class COCOEvaluatorTPU:
         R = len(REC_THRS)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
-        scores_out = -np.ones((T, R, K, A, M))
+        max_det = max(MAX_DETS)
 
         for ki, cat in enumerate(self.cat_ids):
-            for mi, max_det in enumerate(MAX_DETS):
-                evs = [self._evaluate_img(img, cat, max_det)
-                       for img in self.image_ids]
-                evs = [e for e in evs if e is not None]
-                if not evs:
-                    continue
-                for ai, rng in enumerate(AREA_RNGS.values()):
-                    matched = [self._match(e, rng) for e in evs]
-                    scores = np.concatenate([m[2] for m in matched])
-                    order = np.argsort(-scores, kind="mergesort")
-                    scores = scores[order]
-                    dtm = np.concatenate([m[0] for m in matched],
-                                         axis=1)[:, order]
-                    dt_ig = np.concatenate([m[1] for m in matched],
-                                           axis=1)[:, order]
-                    npig = sum(m[3] for m in matched)
+            cells = [self._eval_cell(img, cat, max_det)
+                     for img in self.image_ids]
+            cells = [c for c in cells if c is not None]
+            if not cells:
+                continue
+            for mi, md in enumerate(MAX_DETS):
+                scores = np.concatenate(
+                    [c["scores"][:md] for c in cells])
+                order = np.argsort(-scores, kind="mergesort")
+                scores_s = scores[order]
+                for ai in range(A):
+                    dtm = np.concatenate(
+                        [c["dtm"][ai, :, :md] for c in cells],
+                        axis=1)[:, order]
+                    dtig = np.concatenate(
+                        [c["dtig"][ai, :, :md] for c in cells],
+                        axis=1)[:, order]
+                    npig = int(sum(c["npig"][ai] for c in cells))
                     if npig == 0:
                         continue
-                    tps = dtm & ~dt_ig
-                    fps = ~dtm & ~dt_ig
+                    tps = dtm & ~dtig
+                    fps = ~dtm & ~dtig
                     tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
                     fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
                     for ti in range(T):
@@ -191,22 +250,14 @@ class COCOEvaluatorTPU:
                         rc = tp / npig
                         pr = tp / np.maximum(tp + fp, np.spacing(1))
                         recall[ti, ki, ai, mi] = rc[-1] if nd else 0.0
-                        # right-max interpolation
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
+                        # right-max interpolation (vectorized)
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         inds = np.searchsorted(rc, REC_THRS, side="left")
                         q = np.zeros(R)
-                        ss = np.zeros(R)
-                        for ri, pi in enumerate(inds):
-                            if pi < nd:
-                                q[ri] = pr[pi]
-                                ss[ri] = scores[pi]
+                        valid = inds < nd
+                        q[valid] = pr[inds[valid]]
                         precision[ti, :, ki, ai, mi] = q
-                        scores_out[ti, :, ki, ai, mi] = ss
-        return {"precision": precision, "recall": recall,
-                "scores": scores_out}
+        return {"precision": precision, "recall": recall}
 
     # ------------------------------------------------------------ metrics
     def summarize(self, per_category: bool = False) -> Dict[str, float]:

@@ -137,6 +137,11 @@ class MMSSHeads(nn.Module):
             self.transformer_head = TransformerHead(
                 tcfg=self.tcfg, v_dim=self.v_dim, l_dim=self.l_dim,
                 external_projection=self.tie_v2l)
+        if "MLPHead" in self.head_types:
+            from ..mmss.mlp_head import MLPHead
+            self.mlp_head = MLPHead(
+                tcfg=self.tcfg, v_dim=self.v_dim, l_dim=self.l_dim,
+                external_projection=self.tie_v2l)
 
     def project(self, features: jnp.ndarray) -> jnp.ndarray:
         """Shared v2l projection (the detector's emb_pred aliases this
@@ -164,6 +169,16 @@ class MMSSHeads(nn.Module):
         if "TransformerHead" in self.head_types:
             res = self.transformer_head(image, caption, word_embeddings,
                                         deterministic=deterministic)
+            if self.tcfg.return_dist:
+                o, l, d = res
+                dists.update(d)
+            else:
+                o, l = res
+            outputs.update(o)
+            losses.update(l)
+        if "MLPHead" in self.head_types:
+            res = self.mlp_head(image, caption, word_embeddings,
+                                deterministic=deterministic)
             if self.tcfg.return_dist:
                 o, l, d = res
                 dists.update(d)

@@ -2,13 +2,22 @@
 sharding/collective paths are exercised without TPU hardware."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NB: this machine pre-sets JAX_PLATFORMS=axon (the TPU tunnel), so a
+# plain setdefault would silently leave tests on the real chip — force
+# both the env var and the jax config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()}")
+assert len(jax.devices()) == 8
 
 # persistent compilation cache: test shapes are stable across runs, so
 # reruns skip XLA compilation entirely
