@@ -1,36 +1,89 @@
 #!/usr/bin/env python
-"""Benchmark: LSM training step throughput on the local accelerator.
+"""Benchmark: LSM training-step throughput on the local accelerator.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference published no throughput numbers (SURVEY.md §6); the
-proxy baseline is the 8-GPU LSM training configuration (global batch
-32 over 8 workers = 4 images/step/device). We measure LSM train-step
-throughput in images/sec on one chip at the reference's per-device
-batch size and report vs_baseline as measured / assumed-reference
-(reference V100-era per-GPU throughput ~ 4 img / 0.6 s ≈ 6.7 img/s).
+Measures the REAL per-device LSM training workload from the reference
+configuration (configs/coco_lsm.yaml + d2 defaults): batch 4 per device
+(= global 32 over 8 workers), images padded to 832x1344, ResNet-50-C4 +
+RPN (12000->2000 proposals) + 200 sampled ROIs with ROIAlign/res5,
+bert-base word embeddings (768), grounding + 6L/8H transformer heads
+over <=100 regions and 70 caption tokens, all three distillation
+losses, SGD update. The reference published no throughput numbers
+(SURVEY.md §6); vs_baseline uses an assumed 8-GPU-era per-GPU LSM
+throughput of ~6.7 img/s (batch 4 / ~0.6 s step on V100-class HW).
 """
 import json
-import sys
 import time
+
+
+def build_full(batch=4, height=832, width=1344, text_len=70):
+    import jax.numpy as jnp
+    import numpy as np
+    from locov_tpu.config import get_cfg
+    from locov_tpu.models import build_meta_arch
+    from locov_tpu.structures.batches import (DetectionBatch, GtBatch,
+                                              ImageBatch, TextBatch)
+
+    cfg = get_cfg()
+    cfg.merge_from_file("/root/reference/configs/coco_lsm.yaml") \
+        if __import__("os").path.exists(
+            "/root/reference/configs/coco_lsm.yaml") else \
+        cfg.merge_from_file("configs/coco_lsm.yaml")
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    model = build_meta_arch(cfg)
+
+    rng = np.random.RandomState(0)
+    b = batch
+    images = ImageBatch(
+        image=jnp.asarray(
+            rng.rand(b, height, width, 3).astype(np.float32) * 255),
+        hw=jnp.asarray(
+            np.stack([np.full(b, 800), np.full(b, 1312)], 1)
+            .astype(np.int32)),
+        orig_hw=jnp.asarray(np.full((b, 2), 640, np.int32)))
+    ngt = 200  # OLN proposals converted to binary gt
+    xy = rng.rand(b, ngt, 2) * 600
+    wh = rng.rand(b, ngt, 2) * 200 + 16
+    gt = GtBatch(
+        boxes=jnp.asarray(np.concatenate([xy, xy + wh], -1)
+                          .astype(np.float32)),
+        classes=jnp.asarray(np.ones((b, ngt), np.int32)),
+        mask=jnp.asarray(np.ones((b, ngt), bool)))
+    L = text_len
+    ids = rng.randint(1000, 30000, (b, L)).astype(np.int32)
+    attn = np.ones((b, L), np.int32)
+    attn[:, 20:] = 0
+    special = np.zeros((b, L), np.int32)
+    special[:, 0] = 1
+    special[:, 19] = 1
+    special[:, 20:] = 1
+    mlm = np.zeros((b, L), np.int32)
+    mlm[:, 5] = 1
+    text = TextBatch(input_ids=jnp.asarray(ids),
+                     attention_mask=jnp.asarray(attn),
+                     special_tokens_mask=jnp.asarray(special),
+                     target_ids=jnp.asarray(ids),
+                     mlm_mask=jnp.asarray(mlm))
+    batch_data = DetectionBatch(images=images, gt=gt, text=text)
+    class_emb = jnp.asarray(rng.randn(81, 768).astype(np.float32))
+    return cfg, model, batch_data, class_emb
 
 
 def main():
     import jax
-    import numpy as np
 
-    import __graft_entry__ as ge
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     from locov_tpu.engine.solver import build_optimizer, default_frozen_fn
     from locov_tpu.parallel import get_mesh, make_train_step, shard_batch
 
-    # per-device batch 4 (= reference's 32 global / 8 GPUs), real-ish
-    # LSM shapes scaled to bench budget
     batch = 4
-    cfg, model, data, class_emb = ge._build(cfg_small=True, batch=batch,
-                                            hw=512, text_len=16)
+    cfg, model, data, class_emb = build_full(batch=batch)
     key = jax.random.PRNGKey(0)
-    params = model.init(key, data, class_emb, key, method=model.losses)
+    params = jax.jit(
+        lambda d, c, k: model.init(k, d, c, k, method=model.losses)
+    )(data, class_emb, key)
     optimizer, _ = build_optimizer(cfg, params,
                                    frozen_fn=default_frozen_fn(cfg))
     opt_state = optimizer.init(params)
@@ -38,12 +91,11 @@ def main():
     step = make_train_step(model, optimizer, mesh)
     data = shard_batch(data, mesh)
 
-    # compile + warmup
     params, opt_state, m = step(params, opt_state, data, class_emb, key)
     jax.block_until_ready(m)
     n_iter = 10
     t0 = time.perf_counter()
-    for i in range(n_iter):
+    for _ in range(n_iter):
         key, k = jax.random.split(key)
         params, opt_state, m = step(params, opt_state, data, class_emb, k)
     jax.block_until_ready(m)

@@ -141,9 +141,67 @@ class WordPieceTokenizer:
             out.extend(self.wordpiece(word))
         return out
 
+    # -- native fast path ----------------------------------------------
+    _native_lib = None
+
+    def _native(self):
+        """Lazy-build/load the C++ tokenizer (ASCII fast path; see
+        native/wordpiece.cpp). Returns a handle or None."""
+        if getattr(self, "_native_handle", None) is not None:
+            return self._native_handle
+        if getattr(self, "_native_failed", False):
+            return None
+        import ctypes
+        import os
+        import subprocess
+        native_dir = os.path.join(os.path.dirname(__file__), "..",
+                                  "native")
+        so = os.path.abspath(os.path.join(native_dir, "libwordpiece.so"))
+        src = os.path.abspath(os.path.join(native_dir, "wordpiece.cpp"))
+        try:
+            if (not os.path.exists(so)
+                    or os.path.getmtime(so) < os.path.getmtime(src)):
+                subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o",
+                                so, src], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(so)
+            lib.wp_create.restype = ctypes.c_void_p
+            lib.wp_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32)]
+            inv = sorted(self.vocab, key=self.vocab.get)
+            arr = (ctypes.c_char_p * len(inv))(
+                *[t.encode("utf-8") for t in inv])
+            handle = lib.wp_create(
+                arr, len(inv), int(self.lowercase), self.pad_id,
+                self.unk_id, self.cls_id, self.sep_id,
+                self.max_chars_per_word)
+            WordPieceTokenizer._native_lib = lib
+            self._native_handle = handle
+            return handle
+        except Exception:
+            self._native_failed = True
+            return None
+
     def encode(self, text: str, max_length: int):
         """[CLS] tokens [SEP], truncated to max_length, padded with PAD.
-        Returns (ids, attention_mask, special_tokens_mask) numpy arrays."""
+        Returns (ids, attention_mask, special_tokens_mask) numpy arrays.
+        ASCII inputs take the native C++ path; anything else falls back
+        to the pure-Python tokenizer (identical output)."""
+        handle = self._native()
+        if handle is not None and text.isascii():
+            import ctypes
+            ids = np.empty(max_length, np.int32)
+            attn = np.empty(max_length, np.int32)
+            special = np.empty(max_length, np.int32)
+            p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            rc = WordPieceTokenizer._native_lib.wp_encode(
+                ctypes.c_void_p(handle), text.encode("utf-8"),
+                max_length, p(ids), p(attn), p(special))
+            if rc == 0:
+                return ids, attn, special
         ids = [self.vocab.get(t, self.unk_id) for t in self.tokenize(text)]
         ids = [self.cls_id] + ids[:max_length - 2] + [self.sep_id]
         n = len(ids)

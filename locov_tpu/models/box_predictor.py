@@ -148,46 +148,62 @@ def fast_rcnn_losses(scores: jnp.ndarray, deltas: jnp.ndarray,
             "loss_box_reg": loss_box * pcfg.box_reg_loss_weight}
 
 
-def fast_rcnn_inference(scores: jnp.ndarray, deltas: jnp.ndarray,
-                        proposal_boxes: jnp.ndarray,
-                        proposal_mask: jnp.ndarray, image_hw: jnp.ndarray,
-                        pcfg: BoxPredictorConfig) -> Detections:
-    """Static-shape fast_rcnn_inference for one image.
+def fast_rcnn_inference_batched(scores: jnp.ndarray, deltas: jnp.ndarray,
+                                proposal_boxes: jnp.ndarray,
+                                proposal_mask: jnp.ndarray,
+                                image_hw: jnp.ndarray,
+                                pcfg: BoxPredictorConfig) -> Detections:
+    """Static-shape fast_rcnn_inference, fully batched.
 
-    scores: [N, K+1] raw logits; deltas: [N, 4]; proposal_boxes: [N, 4].
-    softmax -> drop bg -> score thresh -> per-class NMS -> top-k.
-    """
-    probs = jax.nn.softmax(scores, axis=-1)[:, :-1]  # [N, K]
-    n, k = probs.shape
+    scores: [B, N, K+1] raw logits; deltas: [B, N, 4] (class-agnostic);
+    proposal_boxes: [B, N, 4]. softmax -> drop bg -> score thresh ->
+    per-class NMS (offset trick) -> top-k. The NMS loop nest runs
+    batched, never under vmap (compile-time hazard on TPU)."""
+    probs = jax.nn.softmax(scores, axis=-1)[..., :-1]  # [B, N, K]
+    b, n, k = probs.shape
     boxes = box_ops.apply_deltas(deltas, proposal_boxes,
                                  pcfg.bbox_reg_weights)
-    boxes = box_ops.clip(boxes, (image_hw[0], image_hw[1]))
+    h = image_hw[:, 0:1, None].astype(boxes.dtype)
+    w = image_hw[:, 1:2, None].astype(boxes.dtype)
+    boxes = jnp.stack([
+        jnp.clip(boxes[..., 0], 0, w[..., 0]),
+        jnp.clip(boxes[..., 1], 0, h[..., 0]),
+        jnp.clip(boxes[..., 2], 0, w[..., 0]),
+        jnp.clip(boxes[..., 3], 0, h[..., 0])], axis=-1)
 
-    flat_scores = probs.reshape(-1)  # [N*K]
-    flat_classes = jnp.tile(jnp.arange(k, dtype=jnp.int32), (n,))
-    flat_boxes = jnp.repeat(boxes, k, axis=0)  # class-agnostic: same box
+    flat_scores = probs.reshape(b, n * k)
+    flat_classes = jnp.tile(jnp.arange(k, dtype=jnp.int32), (b, n))
+    flat_boxes = jnp.broadcast_to(boxes[:, :, None, :],
+                                  (b, n, k, 4)).reshape(b, n * k, 4)
+    base_valid = proposal_mask & box_ops.nonempty(boxes)
     flat_valid = (flat_scores > pcfg.test_score_thresh) & jnp.repeat(
-        proposal_mask & box_ops.nonempty(boxes), k, axis=0)
+        base_valid, k, axis=1)
 
     n_cand = min(pcfg.test_nms_candidates, n * k)
     cand_scores, cand_idx = jax.lax.top_k(
         jnp.where(flat_valid, flat_scores, -1.0), n_cand)
-    cand_boxes = flat_boxes[cand_idx]
-    cand_classes = flat_classes[cand_idx]
+    cand_boxes = jnp.take_along_axis(flat_boxes, cand_idx[..., None],
+                                     axis=1)
+    cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
     cand_valid = cand_scores > jnp.maximum(pcfg.test_score_thresh, 0.0)
 
-    keep = nms_ops.batched_nms_mask(cand_boxes, cand_scores, cand_classes,
-                                    cand_valid, pcfg.test_nms_thresh)
+    keep = nms_ops.batched_nms_mask_batched(
+        cand_boxes, cand_scores, cand_classes, cand_valid,
+        pcfg.test_nms_thresh)
     kept_scores = jnp.where(keep, cand_scores, -1.0)
     top_scores, top_idx = jax.lax.top_k(kept_scores,
                                         pcfg.test_topk_per_image)
-    return Detections(boxes=cand_boxes[top_idx], scores=top_scores,
-                      classes=cand_classes[top_idx],
-                      mask=top_scores > 0.0)
+    return Detections(
+        boxes=jnp.take_along_axis(cand_boxes, top_idx[..., None], axis=1),
+        scores=top_scores,
+        classes=jnp.take_along_axis(cand_classes, top_idx, axis=1),
+        mask=top_scores > 0.0)
 
 
-def fast_rcnn_inference_batched(scores, deltas, proposal_boxes,
-                                proposal_mask, image_hw, pcfg):
-    fn = lambda s, d, p, m, hw: fast_rcnn_inference(s, d, p, m, hw, pcfg)
-    return jax.vmap(fn)(scores, deltas, proposal_boxes, proposal_mask,
-                        image_hw)
+def fast_rcnn_inference(scores, deltas, proposal_boxes, proposal_mask,
+                        image_hw, pcfg):
+    """Single-image wrapper."""
+    dets = fast_rcnn_inference_batched(
+        scores[None], deltas[None], proposal_boxes[None],
+        proposal_mask[None], image_hw[None], pcfg)
+    return Detections(*[x[0] for x in dets])

@@ -162,27 +162,36 @@ def rpn_losses(anchors: jnp.ndarray, logits: jnp.ndarray,
 def select_proposals(anchors: jnp.ndarray, logits: jnp.ndarray,
                      deltas: jnp.ndarray, image_hw: jnp.ndarray,
                      rpn_cfg: RPNConfig, training: bool) -> ProposalBatch:
-    """Top-k -> decode -> clip -> NMS -> fixed-K proposals per image."""
+    """Top-k -> decode -> clip -> NMS -> fixed-K proposals per image.
+
+    Fully batched (the NMS loop nest must not sit under vmap — that
+    multiplied XLA compile time by orders of magnitude on TPU)."""
     pre_topk = (rpn_cfg.pre_nms_topk_train if training
                 else rpn_cfg.pre_nms_topk_test)
     post_topk = (rpn_cfg.post_nms_topk_train if training
                  else rpn_cfg.post_nms_topk_test)
     pre_topk = min(pre_topk, anchors.shape[0])
 
-    def per_image(logits_i, deltas_i, hw):
-        top_scores, idx = jax.lax.top_k(logits_i, pre_topk)
-        boxes = box_ops.apply_deltas(deltas_i[idx], anchors[idx],
-                                     rpn_cfg.bbox_reg_weights)
-        boxes = box_ops.clip(boxes, (hw[0], hw[1]))
-        valid = box_ops.nonempty(boxes, rpn_cfg.min_size)
-        valid &= jnp.isfinite(top_scores)
-        keep_idx, keep_valid = nms_ops.nms_topk(
-            boxes, top_scores, valid, rpn_cfg.nms_thresh, post_topk)
-        return ProposalBatch(boxes=boxes[keep_idx],
-                             objectness=top_scores[keep_idx],
-                             mask=keep_valid)
-
-    return jax.vmap(per_image)(logits, deltas, image_hw)
+    top_scores, idx = jax.lax.top_k(logits, pre_topk)  # [B, K]
+    sel_deltas = jnp.take_along_axis(deltas, idx[..., None], axis=1)
+    sel_anchors = anchors[idx]                         # [B, K, 4]
+    boxes = box_ops.apply_deltas(sel_deltas, sel_anchors,
+                                 rpn_cfg.bbox_reg_weights)
+    # clip to per-image valid size
+    h = image_hw[:, 0:1].astype(boxes.dtype)
+    w = image_hw[:, 1:2].astype(boxes.dtype)
+    boxes = jnp.stack([
+        jnp.clip(boxes[..., 0], 0, w), jnp.clip(boxes[..., 1], 0, h),
+        jnp.clip(boxes[..., 2], 0, w), jnp.clip(boxes[..., 3], 0, h),
+    ], axis=-1)
+    valid = box_ops.nonempty(boxes, rpn_cfg.min_size)
+    valid &= jnp.isfinite(top_scores)
+    keep_idx, keep_valid = nms_ops.nms_topk_batched(
+        boxes, top_scores, valid, rpn_cfg.nms_thresh, post_topk)
+    out_boxes = jnp.take_along_axis(boxes, keep_idx[..., None], axis=1)
+    out_scores = jnp.take_along_axis(top_scores, keep_idx, axis=1)
+    return ProposalBatch(boxes=out_boxes, objectness=out_scores,
+                         mask=keep_valid)
 
 
 def add_gt_to_proposals(proposals: ProposalBatch,

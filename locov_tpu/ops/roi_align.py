@@ -56,57 +56,65 @@ def _sample_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
 
 
 @partial(jax.jit, static_argnames=("pooled", "sampling_ratio", "chunk"))
-def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
-              spatial_scale: float, pooled: int = 14,
-              sampling_ratio: int = 2, chunk: int = 32) -> jnp.ndarray:
-    """ROIAlign for a single image.
+def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
+                      spatial_scale: float, pooled: int = 14,
+                      sampling_ratio: int = 2,
+                      chunk: int = 32) -> jnp.ndarray:
+    """Batched ROIAlign: features [B, H, W, C], boxes [B, N, 4] ->
+    [B, N, pooled, pooled, C].
 
-    features: [H, W, C]; boxes: [N, 4] XYXY in input-image coords.
-    Returns [N, pooled, pooled, C]. Boxes are processed in chunks to
-    bound the [chunk, P, W, C] intermediate.
-    """
-    h, w = features.shape[0], features.shape[1]
+    The batch is a native leading dim of the chunked einsums (a
+    lax.map under vmap is an XLA compile-time hazard on TPU); boxes are
+    processed in chunks of ``chunk`` to bound the [B, chunk, P, W, C]
+    intermediate."""
+    b, h, w = features.shape[0], features.shape[1], features.shape[2]
+    n = boxes.shape[1]
     sr = max(int(sampling_ratio), 1)
     # aligned=True (ROIAlignV2): half-pixel correction, no size clamping
-    x0 = boxes[:, 0] * spatial_scale - 0.5
-    y0 = boxes[:, 1] * spatial_scale - 0.5
-    bw = boxes[:, 2] * spatial_scale - 0.5 - x0
-    bh = boxes[:, 3] * spatial_scale - 0.5 - y0
+    x0 = boxes[..., 0] * spatial_scale - 0.5
+    y0 = boxes[..., 1] * spatial_scale - 0.5
+    bw = boxes[..., 2] * spatial_scale - 0.5 - x0
+    bh = boxes[..., 3] * spatial_scale - 0.5 - y0
 
-    ky = _interp_matrix(_sample_coords(y0, bh, pooled, sr), h)  # [N, P, H]
-    kx = _interp_matrix(_sample_coords(x0, bw, pooled, sr), w)  # [N, P, W]
+    flat = lambda v: v.reshape(b * n)
+    ky = _interp_matrix(_sample_coords(flat(y0), flat(bh), pooled, sr),
+                        h).reshape(b, n, pooled, h)
+    kx = _interp_matrix(_sample_coords(flat(x0), flat(bw), pooled, sr),
+                        w).reshape(b, n, pooled, w)
 
-    n = boxes.shape[0]
     pad = (-n) % chunk
     if pad:
-        ky = jnp.pad(ky, ((0, pad), (0, 0), (0, 0)))
-        kx = jnp.pad(kx, ((0, pad), (0, 0), (0, 0)))
-    ky = ky.reshape(-1, chunk, pooled, h)
-    kx = kx.reshape(-1, chunk, pooled, w)
+        ky = jnp.pad(ky, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kx = jnp.pad(kx, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nchunks = (n + pad) // chunk
+    # [nchunks, B, chunk, P, dim] so lax.map scans over chunks
+    ky = jnp.moveaxis(ky.reshape(b, nchunks, chunk, pooled, h), 1, 0)
+    kx = jnp.moveaxis(kx.reshape(b, nchunks, chunk, pooled, w), 1, 0)
 
     def do_chunk(k):
         # HIGHEST: interpolation weights are exact hat fractions; bf16
         # MXU passes here cost ~nothing (ROIAlign is <5% of step FLOPs)
         # but visibly degrade pooled-feature fidelity.
-        ky_c, kx_c = k
-        t = jnp.einsum("nph,hwc->npwc", ky_c, features,
+        ky_c, kx_c = k  # [B, chunk, P, dim]
+        t = jnp.einsum("bnph,bhwc->bnpwc", ky_c, features,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        return jnp.einsum("npwc,nqw->npqc", t, kx_c,
+        return jnp.einsum("bnpwc,bnqw->bnpqc", t, kx_c,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
 
-    out = jax.lax.map(do_chunk, (ky, kx))
-    out = out.reshape(-1, pooled, pooled, features.shape[2])
-    return out[:n].astype(features.dtype)
+    if nchunks == 1:
+        out = do_chunk((ky[0], kx[0]))[None]
+    else:
+        out = jax.lax.map(do_chunk, (ky, kx))
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * chunk, pooled,
+                                          pooled, features.shape[3])
+    return out[:, :n].astype(features.dtype)
 
 
-def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
-                      spatial_scale: float, pooled: int = 14,
-                      sampling_ratio: int = 2,
-                      chunk: int = 32) -> jnp.ndarray:
-    """vmap over the batch: features [B, H, W, C], boxes [B, N, 4] ->
-    [B, N, pooled, pooled, C]."""
-    fn = partial(roi_align, spatial_scale=spatial_scale, pooled=pooled,
-                 sampling_ratio=sampling_ratio, chunk=chunk)
-    return jax.vmap(fn)(features, boxes)
+def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
+              spatial_scale: float, pooled: int = 14,
+              sampling_ratio: int = 2, chunk: int = 32) -> jnp.ndarray:
+    """Single-image wrapper: [H, W, C], [N, 4] -> [N, P, P, C]."""
+    return roi_align_batched(features[None], boxes[None], spatial_scale,
+                             pooled, sampling_ratio, chunk)[0]

@@ -1,0 +1,128 @@
+"""Solver (SGD semantics, freezing, LR schedule) and events tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from locov_tpu.config import get_cfg
+from locov_tpu.engine.solver import (build_optimizer, default_frozen_fn,
+                                     warmup_multistep_lr)
+
+
+def test_warmup_multistep_schedule():
+    sched = warmup_multistep_lr(0.01, (100, 200), 0.1, 0.001, 10,
+                                "linear")
+    assert abs(float(sched(0)) - 0.01 * 0.001) < 1e-9
+    assert abs(float(sched(5)) - 0.01 * (0.001 * 0.5 + 0.5)) < 1e-6
+    assert abs(float(sched(50)) - 0.01) < 1e-9
+    assert abs(float(sched(150)) - 0.001) < 1e-9
+    assert abs(float(sched(250)) - 0.0001) < 1e-10
+
+
+def _tiny_params():
+    return {
+        "backbone": {
+            "stem": {"conv1": {"kernel": jnp.ones((3, 3, 3, 4))},
+                     "conv1_norm": {"weight": jnp.ones(4),
+                                    "bias": jnp.zeros(4),
+                                    "running_mean": jnp.zeros(4),
+                                    "running_var": jnp.ones(4)}},
+            "res3": {"0": {"conv1": {"kernel": jnp.ones((1, 1, 4, 4))}}},
+        },
+        "roi_heads": {"box_predictor": {
+            "emb_pred": {"kernel": jnp.ones((4, 2)),
+                         "bias": jnp.zeros(2)},
+            "bbox_pred": {"kernel": jnp.ones((4, 4)),
+                          "bias": jnp.zeros(4)}}},
+        "language_backbone": {"bert_model": {"embeddings": {
+            "word_embeddings": jnp.ones((10, 2))}}},
+    }
+
+
+def test_sgd_matches_torch_formula():
+    """One step of our SGD vs the torch update rule by hand."""
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 0.1
+    cfg.SOLVER.MOMENTUM = 0.9
+    cfg.SOLVER.WEIGHT_DECAY = 0.01
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.STEPS = (1000,)
+    cfg.MODEL.BACKBONE.FREEZE_AT = 0
+    cfg.MODEL.LANGUAGE_BACKBONE.FREEZE = True
+    params = {"w": jnp.full((3,), 2.0)}
+    opt, sched = build_optimizer(cfg, params)
+    state = opt.init(params)
+    grads = {"w": jnp.full((3,), 0.5)}
+    updates, state = opt.update(grads, state, params)
+    # torch: d = g + wd*p = 0.5 + 0.02 = 0.52; buf = d; p -= lr*buf
+    np.testing.assert_allclose(np.asarray(updates["w"]),
+                               -0.1 * 0.52, rtol=1e-6)
+    # second step: buf = 0.9*0.52 + 0.52
+    updates2, _ = opt.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates2["w"]),
+                               -0.1 * (0.9 * 0.52 + 0.52), rtol=1e-6)
+
+
+def test_freezing_masks():
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.FREEZE_AT = 2  # stem frozen (res3 not)
+    cfg.MODEL.LANGUAGE_BACKBONE.FREEZE = True
+    cfg.MODEL.ROI_BOX_HEAD.FREEZE_EMB_PRED = True
+    params = _tiny_params()
+    opt, _ = build_optimizer(cfg, params,
+                             frozen_fn=default_frozen_fn(cfg))
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    flat = {}
+    from locov_tpu.utils.checkpoint import flatten_params
+    flat = flatten_params(updates)
+    # frozen: stem conv, all FrozenBN leaves, language, emb_pred
+    assert np.all(flat["backbone/stem/conv1/kernel"] == 0)
+    assert np.all(flat["backbone/stem/conv1_norm/running_mean"] == 0)
+    assert np.all(flat[
+        "language_backbone/bert_model/embeddings/word_embeddings"] == 0)
+    assert np.all(flat["roi_heads/box_predictor/emb_pred/kernel"] == 0)
+    # trainable: res3 conv, bbox_pred
+    assert np.any(flat["backbone/res3/0/conv1/kernel"] != 0)
+    assert np.any(flat["roi_heads/box_predictor/bbox_pred/kernel"] != 0)
+
+
+def test_grad_clip_value():
+    cfg = get_cfg()
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 5.0
+    cfg.SOLVER.BASE_LR = 1.0
+    cfg.SOLVER.MOMENTUM = 0.0
+    cfg.SOLVER.WEIGHT_DECAY = 0.0
+    cfg.SOLVER.WARMUP_ITERS = 0
+    params = {"w": jnp.zeros((2,))}
+    opt, _ = build_optimizer(cfg, params)
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.array([100.0, -100.0])}, state,
+                            params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-5.0, 5.0])
+
+
+def test_event_storage_and_writers(tmp_path):
+    from locov_tpu.utils.events import (CSVWriter, EventStorage,
+                                        JSONWriter, MetricPrinter)
+    st = EventStorage()
+    lines = []
+    printer = MetricPrinter(100, logger=lines.append)
+    jw = JSONWriter(str(tmp_path / "metrics.json"))
+    cw = CSVWriter(str(tmp_path / "m.csv"), epoch_size=10)
+    for it in range(3):
+        st.iter = it
+        st.put_scalar("total_loss", 1.0 / (it + 1))
+        st.put_scalar("Batch Accuracy (Choose Image)", 0.5)
+        st.put_scalar("time", 0.1)
+        printer.write(st)
+        jw.write(st)
+        cw.write(st)
+    assert "total_loss" in lines[-1] and "iter: 2" in lines[-1]
+    import json
+    rows = [json.loads(l) for l in
+            open(tmp_path / "metrics.json").read().splitlines()]
+    assert len(rows) == 3 and rows[1]["iteration"] == 1
+    assert (tmp_path / "m.csv").exists()
