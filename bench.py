@@ -91,14 +91,20 @@ def main():
     step = make_train_step(model, optimizer, mesh)
     data = shard_batch(data, mesh)
 
+    # compile + warmup (the axon tunnel needs a few steps to reach
+    # steady state after compilation)
     params, opt_state, m = step(params, opt_state, data, class_emb, key)
     jax.block_until_ready(m)
-    n_iter = 10
+    for _ in range(4):
+        params, opt_state, m = step(params, opt_state, data, class_emb,
+                                    key)
+    jax.block_until_ready((params, m))
+    n_iter = 30
     t0 = time.perf_counter()
     for _ in range(n_iter):
         key, k = jax.random.split(key)
         params, opt_state, m = step(params, opt_state, data, class_emb, k)
-    jax.block_until_ready(m)
+    jax.block_until_ready((params, m))
     dt = (time.perf_counter() - t0) / n_iter
     ips = batch / dt
 

@@ -143,7 +143,11 @@ class OVRTrainer:
                           is_train=True,
                           num_workers=cfg.DATALOADER.NUM_WORKERS)
 
-    def build_test_loader(self, cfg, dataset_name: str) -> DataLoader:
+    def build_test_loader(self, cfg, dataset_name: str,
+                          val: bool = False) -> DataLoader:
+        """Test loader (TEST.IMS_PER_BATCH) or validation-loss loader
+        (SOLVER.IMS_PER_BATCH // world, the reference's
+        build_detection_val_loader, dataloader.py:66-121)."""
         get_register_dataset(dataset_name)(dataset_name, cfg.DATASETS.ROOT)
         records = DatasetCatalog.get(dataset_name)
         meta = MetadataCatalog.get(dataset_name)
@@ -154,8 +158,11 @@ class OVRTrainer:
                                    rank=jax.process_index(),
                                    world_size=jax.process_count())
         buckets = derive_buckets(cfg, False)
-        return DataLoader(records, mapper, sampler,
-                          max(cfg.TEST.IMS_PER_BATCH, 1), buckets,
+        if val:
+            bs = max(cfg.SOLVER.IMS_PER_BATCH // jax.process_count(), 1)
+        else:
+            bs = max(cfg.TEST.IMS_PER_BATCH, 1)
+        return DataLoader(records, mapper, sampler, bs, buckets,
                           cfg.TPU.MAX_GT_BOXES,
                           has_text=self.needs_text, is_train=False,
                           num_workers=cfg.DATALOADER.NUM_WORKERS)
@@ -257,6 +264,15 @@ class OVRTrainer:
             "lr", float(self.schedule(self.storage.iter)))
         for k2, v in metrics.items():
             self.storage.put_scalar(k2, float(v))
+        # device-memory telemetry (the reference prints GPUtil stats for
+        # iters 100-300, trainer.py:111-112; we log HBM continuously)
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and "bytes_in_use" in stats:
+                self.storage.put_scalar(
+                    "device_mem_gb", stats["bytes_in_use"] / 2 ** 30)
+        except Exception:
+            pass
 
     def train(self):
         cfg = self.cfg
