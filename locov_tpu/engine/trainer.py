@@ -241,6 +241,15 @@ class OVRTrainer:
         return batch
 
     def run_step(self):
+        """One training step with an ASYNC metrics pipeline: the step
+        for iteration t is dispatched, then the metrics of iteration
+        t-1 (already finished on device) are pulled to host. The host
+        never blocks on the step it just dispatched, so device steps
+        overlap with metric transfer/logging — without this, every
+        step pays a full device->host sync (the reference blocks every
+        step at trainer.py:519-563; on TPU that sync is the single
+        biggest throughput killer). The NaN tripwire
+        (FloatingPointError, trainer.py:554-559) fires one step late."""
         start = time.perf_counter()
         batch = self._next_batch()
         data_time = time.perf_counter() - start
@@ -250,20 +259,33 @@ class OVRTrainer:
         self.params, self.opt_state, metrics = self.train_step(
             self.params, self.opt_state, batch, self.class_emb, k)
 
-        total = float(metrics["total_loss"])
-        if not np.isfinite(total):
-            bad = {k2: float(v) for k2, v in metrics.items()
-                   if not np.isfinite(float(v))}
-            raise FloatingPointError(
-                f"Loss became infinite or NaN at iteration="
-                f"{self.storage.iter}! Bad metrics: {bad}")
+        pending = getattr(self, "_pending_metrics", None)
+        self._pending_metrics = (metrics, self.storage.iter)
+        if pending is not None:
+            self._record_metrics(*pending)
 
         self.storage.put_scalar("data_time", data_time)
         self.storage.put_scalar("time", time.perf_counter() - start)
         self.storage.put_scalar(
             "lr", float(self.schedule(self.storage.iter)))
+
+    def _record_metrics(self, metrics, iteration: int):
+        metrics = {k2: float(v) for k2, v in metrics.items()}
+        total = metrics.get("total_loss", 0.0)
+        if not np.isfinite(total):
+            bad = {k2: v for k2, v in metrics.items()
+                   if not np.isfinite(v)}
+            raise FloatingPointError(
+                f"Loss became infinite or NaN at iteration="
+                f"{iteration}! Bad metrics: {bad}")
         for k2, v in metrics.items():
-            self.storage.put_scalar(k2, float(v))
+            self.storage.put_scalar(k2, v)
+
+    def flush_metrics(self):
+        pending = getattr(self, "_pending_metrics", None)
+        if pending is not None:
+            self._record_metrics(*pending)
+            self._pending_metrics = None
         # device-memory telemetry (the reference prints GPUtil stats for
         # iters 100-300, trainer.py:111-112; we log HBM continuously)
         try:
@@ -283,6 +305,7 @@ class OVRTrainer:
             self.storage.iter = it
             self.run_step()
             self.after_step(it)
+        self.flush_metrics()
         # final checkpoint + eval
         self.checkpointer.save_named(
             "model_final", {"params": self.params,

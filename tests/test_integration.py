@@ -90,6 +90,7 @@ def test_lsm_train_step(micro_root):
 
     trainer = OVRTrainer(cfg)
     trainer.run_step()
+    trainer.flush_metrics()  # metrics are pipelined one step behind
     hist = trainer.storage.histories()
     for key in ["loss_rpn_cls", "loss_cls",
                 "CE_loss (Align Words, Choose Caption)",
