@@ -327,6 +327,16 @@ def get_default_cfg() -> CN:
     _C.TPU.DEBUG_NANS = False         # LoggedModule-style NaN tripwires
     # chunk size for the transformer head's all-pairs encoder pass
     _C.TPU.PAIRWISE_CHUNK = 0          # 0 = no chunking
+    # fused Pallas ROIAlign kernel (~12% faster than the XLA matmul
+    # formulation on v5e, exact same interpolation weights at bf16
+    # feature precision; costs ~2 min extra Mosaic compile)
+    _C.TPU.USE_PALLAS_ROIALIGN = False
+    # jax.profiler trace capture: set a directory to capture a trace of
+    # iterations [PROFILE_START, PROFILE_STOP) (the reference only has
+    # an IterationTimer + GPUtil prints, SURVEY.md §5)
+    _C.TPU.PROFILE_DIR = ""
+    _C.TPU.PROFILE_START = 100
+    _C.TPU.PROFILE_STOP = 105
 
     return _C
 

@@ -301,9 +301,15 @@ class OVRTrainer:
         logger.info("Starting training from iteration %d", self.start_iter)
         if cfg.TEST.EVAL_INIT and self.start_iter == 0:
             self.test_and_maybe_save()
+        prof_dir = cfg.TPU.PROFILE_DIR
         for it in range(self.start_iter, self.max_iter):
             self.storage.iter = it
+            if prof_dir and it == cfg.TPU.PROFILE_START:
+                jax.profiler.start_trace(prof_dir)
             self.run_step()
+            if prof_dir and it == cfg.TPU.PROFILE_STOP:
+                self.flush_metrics()
+                jax.profiler.stop_trace()
             self.after_step(it)
         self.flush_metrics()
         # final checkpoint + eval

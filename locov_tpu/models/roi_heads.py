@@ -37,6 +37,7 @@ class ROIHeadsConfig(NamedTuple):
     pooler_resolution: int
     pooler_sampling_ratio: int
     feature_stride: int
+    use_pallas_roi_align: bool = False
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -52,7 +53,8 @@ class ROIHeadsConfig(NamedTuple):
             # d2 sampling_ratio 0 means adaptive (dynamic shape); we fix
             # it at 2 samples per bin — the standard static choice.
             pooler_sampling_ratio=sr if sr > 0 else 2,
-            feature_stride=16)
+            feature_stride=16,
+            use_pallas_roi_align=cfg.TPU.USE_PALLAS_ROIALIGN)
 
 
 class SampledProposals(NamedTuple):
@@ -126,10 +128,17 @@ class Res5ROIHeads(nn.Module):
         """ROIAlign + res5 + global mean pool.
         features: [B, H, W, C]; boxes: [B, S, 4] -> [B, S, 2048]."""
         b, s = boxes.shape[:2]
-        pooled = roi_align_batched(
-            features, boxes, 1.0 / self.rcfg.feature_stride,
-            pooled=self.rcfg.pooler_resolution,
-            sampling_ratio=self.rcfg.pooler_sampling_ratio)
+        if self.rcfg.use_pallas_roi_align:
+            from ..ops.pallas_roi_align import roi_align_pallas
+            pooled = roi_align_pallas(
+                features, boxes, 1.0 / self.rcfg.feature_stride,
+                self.rcfg.pooler_resolution,
+                self.rcfg.pooler_sampling_ratio)
+        else:
+            pooled = roi_align_batched(
+                features, boxes, 1.0 / self.rcfg.feature_stride,
+                pooled=self.rcfg.pooler_resolution,
+                sampling_ratio=self.rcfg.pooler_sampling_ratio)
         pooled = pooled.reshape((b * s,) + pooled.shape[2:])
         out = self.res5(pooled)
         out = out.mean(axis=(1, 2))
