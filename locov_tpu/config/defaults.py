@@ -331,6 +331,10 @@ def get_default_cfg() -> CN:
     # formulation on v5e, exact same interpolation weights at bf16
     # feature precision; costs ~2 min extra Mosaic compile)
     _C.TPU.USE_PALLAS_ROIALIGN = False
+    # BxB contrastive scope: "local" = per-device batch (reference DDP
+    # parity); "global" = all-gathered global batch (stronger signal,
+    # costlier transformer-head pass)
+    _C.TPU.CONTRASTIVE_SCOPE = "local"
     # jax.profiler trace capture: set a directory to capture a trace of
     # iterations [PROFILE_START, PROFILE_STOP) (the reference only has
     # an IterationTimer + GPUtil prints, SURVEY.md §5)

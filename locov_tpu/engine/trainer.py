@@ -100,8 +100,9 @@ class OVRTrainer:
             cfg, self.params, frozen_fn=frozen_fn)
         self.opt_state = self.optimizer.init(self.params)
 
-        self.train_step = make_train_step(self.model, self.optimizer,
-                                          self.mesh)
+        self.train_step = make_train_step(
+            self.model, self.optimizer, self.mesh,
+            contrastive_scope=cfg.TPU.CONTRASTIVE_SCOPE)
         self._eval_step = None
         self._loss_eval_step = None
 

@@ -135,10 +135,15 @@ class Res5ROIHeads(nn.Module):
                 self.rcfg.pooler_resolution,
                 self.rcfg.pooler_sampling_ratio)
         else:
+            # bf16 features -> default (bf16-MXU) interpolation passes;
+            # f32 features keep exact interpolation
+            prec = "default" if features.dtype == jnp.bfloat16 \
+                else "highest"
             pooled = roi_align_batched(
                 features, boxes, 1.0 / self.rcfg.feature_stride,
                 pooled=self.rcfg.pooler_resolution,
-                sampling_ratio=self.rcfg.pooler_sampling_ratio)
+                sampling_ratio=self.rcfg.pooler_sampling_ratio,
+                precision=prec)
         pooled = pooled.reshape((b * s,) + pooled.shape[2:])
         out = self.res5(pooled)
         out = out.mean(axis=(1, 2))

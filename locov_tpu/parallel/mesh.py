@@ -57,15 +57,26 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 
 def make_train_step(model, optimizer, mesh: Mesh,
-                    axis: str = "data") -> Callable:
+                    axis: str = "data",
+                    contrastive_scope: str = "local") -> Callable:
     """Returns jitted step(params, opt_state, batch, class_emb, rng) ->
     (params, opt_state, metrics).
 
-    Inside shard_map each device sees its local batch shard — matching
-    the reference's one-process-per-GPU semantics where the BxB
-    image-caption matrices span only the local batch — and grads/metrics
-    are pmean'd across the mesh.
+    contrastive_scope="local" (default, reference parity): shard_map —
+    each device sees its local batch shard, matching the reference's
+    one-process-per-GPU semantics where the BxB image-caption matrices
+    span only the local batch; grads/metrics are pmean'd across the
+    mesh.
+
+    contrastive_scope="global": GSPMD jit over the global batch — the
+    BxB contrastive matrices span ALL devices' images/captions (XLA
+    all-gathers the region/caption embeddings over ICI), a strictly
+    stronger contrastive signal than the reference at the cost of a
+    global-batch-squared transformer-head pass. SURVEY.md §2c flags
+    this as the TPU-native quality upgrade.
     """
+    if contrastive_scope == "global":
+        return _make_global_train_step(model, optimizer, mesh, axis)
 
     def local_grads(params, batch, class_emb, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
@@ -99,6 +110,36 @@ def make_train_step(model, optimizer, mesh: Mesh,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         return params, opt_state, metrics
+
+    return step
+
+
+def _make_global_train_step(model, optimizer, mesh: Mesh,
+                            axis: str = "data") -> Callable:
+    """Global-batch train step: one jit over the sharded batch; XLA
+    inserts the collectives (embedding all-gathers, grad reductions)."""
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(replicated(mesh), replicated(mesh),
+                      batch_sharded(mesh, axis), replicated(mesh),
+                      replicated(mesh)),
+        out_shardings=(replicated(mesh), replicated(mesh),
+                       replicated(mesh)))
+    def step(params, opt_state, batch, class_emb, rng):
+        def loss_fn(p):
+            res = model.apply(p, batch, class_emb, rng,
+                              method=model.losses)
+            outputs, losses = res if isinstance(res, tuple) else ({}, res)
+            total = sum(jax.tree.leaves(losses))
+            return total, (losses, outputs)
+
+        (total, (losses, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(lambda p, u: p + u, params, updates)
+        metrics = {**losses, **outputs, "total_loss": total}
+        return new_params, new_opt, metrics
 
     return step
 
