@@ -92,3 +92,37 @@ def edit_output_dir_exp_specific(cfg):
     if cfg.SOLVER.CHECKPOINT_PERIOD == 0:
         cfg.SOLVER.CHECKPOINT_PERIOD = cfg.SOLVER.MAX_ITER + 10
     return cfg
+
+
+def auto_scale_workers(cfg, num_workers: int):
+    """d2 DefaultTrainer.auto_scale_workers (the reference invokes it at
+    trainer.py:45): when SOLVER.REFERENCE_WORLD_SIZE > 0 and differs
+    from the actual world size, linearly scale IMS_PER_BATCH / BASE_LR /
+    MAX_ITER / WARMUP_ITERS / STEPS / EVAL_PERIOD / CHECKPOINT_PERIOD so
+    the training trajectory is invariant to the number of workers."""
+    old_world = cfg.SOLVER.REFERENCE_WORLD_SIZE
+    if old_world == 0 or old_world == num_workers:
+        return cfg
+    frozen = cfg.is_frozen()
+    if frozen:
+        cfg.defrost()
+    assert cfg.SOLVER.IMS_PER_BATCH % old_world == 0
+    scale = num_workers / old_world
+    bs = cfg.SOLVER.IMS_PER_BATCH = int(
+        round(cfg.SOLVER.IMS_PER_BATCH * scale))
+    cfg.SOLVER.BASE_LR = cfg.SOLVER.BASE_LR * scale
+    cfg.SOLVER.MAX_ITER = int(round(cfg.SOLVER.MAX_ITER / scale))
+    cfg.SOLVER.WARMUP_ITERS = int(round(cfg.SOLVER.WARMUP_ITERS / scale))
+    cfg.SOLVER.STEPS = tuple(int(round(s / scale))
+                             for s in cfg.SOLVER.STEPS)
+    cfg.TEST.EVAL_PERIOD = int(round(cfg.TEST.EVAL_PERIOD / scale))
+    cfg.SOLVER.CHECKPOINT_PERIOD = int(
+        round(cfg.SOLVER.CHECKPOINT_PERIOD / scale))
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = num_workers
+    print(f"Auto-scaling the config to batch_size={bs}, "
+          f"learning_rate={cfg.SOLVER.BASE_LR}, "
+          f"max_iter={cfg.SOLVER.MAX_ITER}, "
+          f"warmup={cfg.SOLVER.WARMUP_ITERS}.")
+    if frozen:
+        cfg.freeze()
+    return cfg

@@ -63,6 +63,8 @@ def build_tokenizer(cfg) -> Optional[WordPieceTokenizer]:
 
 class OVRTrainer:
     def __init__(self, cfg):
+        from ..config import auto_scale_workers
+        cfg = auto_scale_workers(cfg, jax.process_count())
         self.cfg = cfg
         if cfg.TPU.DEBUG_NANS:
             from ..utils.debug import enable_nan_debugging

@@ -216,6 +216,7 @@ class DistillProposalMMSSRCNN(nn.Module):
     distill_cfg: Optional[dict]
     load_emb_pred_from_mmss: bool
     compute_dtype: jnp.dtype = jnp.float32
+    remat_backbone: bool = False
     use_rpn: bool = True
     grid_mmss: bool = True  # False for DistillOnlyProposalMMSSRCNN
     lang_bert_cfg: Optional[tuple] = None  # BertConfig override (tests)
@@ -257,7 +258,8 @@ class DistillProposalMMSSRCNN(nn.Module):
             distill_cfg=distill_cfg,
             load_emb_pred_from_mmss=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
             compute_dtype=dtype,
-            lang_bert_cfg=tuple(_lang_bert_cfg(cfg)))
+            lang_bert_cfg=tuple(_lang_bert_cfg(cfg)),
+            remat_backbone=cfg.TPU.REMAT_BACKBONE)
         kw.update(overrides)
         return cls(**kw)
 
@@ -269,7 +271,8 @@ class DistillProposalMMSSRCNN(nn.Module):
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            remat=self.remat_backbone)
         if self.use_rpn:
             self.rpn_head = RPNHead(
                 num_anchors=len(self.rpn_cfg.sizes) *
@@ -472,6 +475,7 @@ class MMSSGridModel(nn.Module):
     spatial_dropout_k: int
     distill_cfg: Optional[dict] = None
     compute_dtype: jnp.dtype = jnp.float32
+    remat_backbone: bool = False
     lang_bert_cfg: Optional[tuple] = None  # BertConfig override (tests)
 
     @classmethod
@@ -508,7 +512,8 @@ class MMSSGridModel(nn.Module):
             spatial_dropout_k=m.SPATIAL_DROPOUT,
             distill_cfg=distill_cfg,
             compute_dtype=dtype,
-            lang_bert_cfg=tuple(_lang_bert_cfg(cfg)))
+            lang_bert_cfg=tuple(_lang_bert_cfg(cfg)),
+            remat_backbone=cfg.TPU.REMAT_BACKBONE)
         kw.update(overrides)
         return cls(**kw)
 
@@ -522,7 +527,8 @@ class MMSSGridModel(nn.Module):
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            remat=self.remat_backbone)
         from ..bert import BertConfig
         from ..language import LANGUAGE_BACKBONES
         bert_cfg = (BertConfig(*self.lang_bert_cfg)

@@ -46,6 +46,7 @@ class OvrRCNN(nn.Module):
     rcfg: ROIHeadsConfig
     pcfg: BoxPredictorConfig
     compute_dtype: jnp.dtype = jnp.float32
+    remat_backbone: bool = False
     use_rpn: bool = True
 
     @classmethod
@@ -65,7 +66,8 @@ class OvrRCNN(nn.Module):
             rpn_cfg=RPNConfig.from_cfg(cfg),
             rcfg=ROIHeadsConfig.from_cfg(cfg),
             pcfg=BoxPredictorConfig.from_cfg(cfg),
-            compute_dtype=dtype)
+            compute_dtype=dtype,
+            remat_backbone=cfg.TPU.REMAT_BACKBONE)
         kw.update(overrides)
         return cls(**kw)
 
@@ -77,7 +79,8 @@ class OvrRCNN(nn.Module):
             stem_out_channels=self.stem_out_channels,
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            remat=self.remat_backbone)
         if self.use_rpn:
             self.rpn_head = RPNHead(
                 num_anchors=len(self.rpn_cfg.sizes) *
