@@ -9,10 +9,9 @@ few precompiled XLA programs.
 """
 from __future__ import annotations
 
-import itertools
 import queue as queue_mod
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 

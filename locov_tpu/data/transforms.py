@@ -9,7 +9,7 @@ until the collator pads them into a bucket.
 from __future__ import annotations
 
 import random
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 from PIL import Image, ImageFilter

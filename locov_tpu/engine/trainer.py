@@ -94,6 +94,7 @@ class OVRTrainer:
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info("Model has %.1fM parameters", n_params / 1e6)
 
+        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=2)
         if cfg.MODEL.WEIGHTS:
             self.load_pretrained(cfg.MODEL.WEIGHTS)
 
@@ -111,7 +112,6 @@ class OVRTrainer:
         self.start_iter = 0
         self.max_iter = cfg.SOLVER.MAX_ITER
         self.storage = EventStorage(0)
-        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=2)
         self.writers = [
             MetricPrinter(self.max_iter, logger=logger.info),
             JSONWriter(os.path.join(cfg.OUTPUT_DIR, "metrics.json")),
@@ -190,25 +190,35 @@ class OVRTrainer:
 
     # ---------------------------------------------------------- checkpoints
     def load_pretrained(self, weights: str):
-        """Load MODEL.WEIGHTS: torch .pth / Caffe2 .pkl / our orbax."""
+        """Load MODEL.WEIGHTS: torch .pth / Caffe2 .pkl / our orbax.
+
+        Orbax checkpoints of a DIFFERENT meta-arch (the LSM -> STT stage
+        hand-off) go through the rename fan-out map, exactly like the
+        reference's resume_or_load_renaming_keys (trainer.py:293-363):
+        LSM's roi_heads/res5 seeds both backbone/res5 and the STT
+        roi_heads/res5, and the tied v2l projection seeds emb_pred."""
         if not os.path.exists(weights):
             logger.warning("MODEL.WEIGHTS %s not found; training from "
                            "scratch", weights)
             return
+        flat_dst = flatten_params(self.params["params"])
         if weights.endswith((".pth", ".pkl")):
             state = load_torch_file(weights)
             flat_src = convert_caffe2_resnet(state) \
                 if weights.endswith(".pkl") else convert_d2_state_dict(state)
-            flat_dst = flatten_params(self.params["params"])
-            merged, missing = load_with_rename_map(flat_src, flat_dst, {})
-            logger.info("Loaded %d/%d params from %s",
-                        len(flat_dst) - len(missing), len(flat_dst),
-                        weights)
-            self.params = {**self.params,
-                           "params": unflatten_params(merged)}
         else:
             state = self.checkpointer.load(weights)
-            self.params = state["params"]
+            src_params = state["params"] if "params" in state else state
+            if "params" in src_params:  # {'params': {'params': ...}}
+                src_params = src_params["params"]
+            flat_src = flatten_params(src_params)
+        same_arch = set(flat_src) == set(flat_dst)
+        rename = {} if same_arch else STT_FROM_LSM_RENAME
+        merged, missing = load_with_rename_map(flat_src, flat_dst, rename)
+        logger.info("Loaded %d/%d params from %s%s",
+                    len(flat_dst) - len(missing), len(flat_dst), weights,
+                    "" if same_arch else " (stage-transfer rename map)")
+        self.params = {**self.params, "params": unflatten_params(merged)}
 
     def resume_or_load(self, resume: bool):
         """Resume from last_checkpoint, else load MODEL.WEIGHTS with the

@@ -18,7 +18,7 @@ from __future__ import annotations
 import ctypes
 import os
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -14,8 +14,7 @@ from __future__ import annotations
 import datetime
 import logging
 import time
-from collections import OrderedDict
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np

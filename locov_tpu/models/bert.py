@@ -11,7 +11,7 @@ by ``locov_tpu/utils/checkpoint.py`` name mapping.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Freezing (LANGUAGE_BACKBONE.FREEZE) is enforced by the optimizer mask.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ..structures.batches import CaptionFeatures, TextBatch

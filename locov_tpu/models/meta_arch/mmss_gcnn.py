@@ -34,9 +34,8 @@ from ...structures.batches import (CaptionFeatures, DetectionBatch,
 from .. import register_meta_arch
 from ..box_predictor import (BoxPredictorConfig,
                              fast_rcnn_inference_batched)
-from ..language import build_language_backbone
 from ..mmss import (GroundingConfig, GroundingHead, TransformerHead,
-                    TransformerHeadConfig, build_distill_loss)
+                    TransformerHeadConfig)
 from ..resnet import ResNetC4
 from ..roi_heads import (ROIHeadsConfig, Res5ROIHeads,
                          label_and_sample_proposals, roi_heads_losses)

@@ -10,15 +10,15 @@ train/eval step is one jittable function over static padded batches.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ...structures import boxes as box_ops
-from ...structures.batches import (DetectionBatch, Detections, GtBatch,
-                                   ImageBatch, ProposalBatch)
+from ...structures.batches import (DetectionBatch, Detections,
+                                   ImageBatch)
 from ..box_predictor import (BoxPredictorConfig,
                              fast_rcnn_inference_batched)
 from ..resnet import ResNetC4

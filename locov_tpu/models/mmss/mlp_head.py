@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from ...ops.losses import mean_cross_entropy
 from ...structures.batches import CaptionFeatures, RegionFeatures
-from ..bert import BertConfig, BertLMHead, _dense
+from ..bert import BertLMHead, _dense
 from .transformer_head import TransformerHeadConfig, VisualEmbedding
 
 

@@ -22,7 +22,7 @@ diagonal pairs' token states drive masked-language-modeling CE
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

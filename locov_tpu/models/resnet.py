@@ -16,7 +16,7 @@ Stage freezing (MODEL.BACKBONE.FREEZE_AT, d2 semantics: 1 = stem,
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

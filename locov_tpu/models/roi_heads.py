@@ -11,7 +11,7 @@ MMSS heads (roi_emb_heads.py:310-349).
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from ..ops.roi_align import roi_align_batched
 from ..structures import boxes as box_ops
 from ..structures.batches import GtBatch, ProposalBatch
 from .box_predictor import (BoxPredictorConfig, EmbeddingBoxPredictor,
-                            fast_rcnn_inference_batched, fast_rcnn_losses)
+                            fast_rcnn_losses)
 from .resnet import ResNetStage
 from .rpn import add_gt_to_proposals
 

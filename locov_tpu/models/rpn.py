@@ -13,7 +13,6 @@ loss normalization by BATCH_SIZE_PER_IMAGE * B) follow d2.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

@@ -26,7 +26,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _interp_matrix, _sample_coords
 

@@ -18,7 +18,7 @@ rendezvous, train_ovnet.py:100-107).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
