@@ -26,11 +26,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .roi_align import _interp_matrix, _sample_coords
 
 H_TILE = 8
 BOX_BLOCK = 4
+BWD_BOX_BLOCK = 2
 
 
 def _kernel(f_ref, ky_ref, kx_ref, out_ref):
@@ -142,17 +144,87 @@ def _fwd(features, boxes, spatial_scale, pooled, sampling_ratio,
     return out, (ky, kx, f_proto)
 
 
+def _bwd_kernel(g_ref, ky_ref, kx_ref, df_ref):
+    """Backward: grid (B, H/H_TILE, N/BOX_BLOCK); N innermost so the
+    dF tile accumulates in VMEM while g is streamed exactly once.
+
+    g_ref:  [1, BOX_BLOCK, P, Q, C]
+    ky_ref: [1, BOX_BLOCK, H_TILE, P]
+    kx_ref: [1, BOX_BLOCK, Q, W]
+    df_ref: [1, H_TILE, W, C]
+    """
+    n_idx = pl.program_id(2)
+
+    @pl.when(n_idx == 0)
+    def _():
+        df_ref[...] = jnp.zeros_like(df_ref)
+
+    g = g_ref[0]      # [N, P, Q, C]
+    ky = ky_ref[0]    # [N, H_TILE, P]
+    kx = kx_ref[0]    # [N, Q, W]
+    # v[n, h, q, c] = sum_p ky[n, h, p] g[n, p, q, c]
+    v = jax.lax.dot_general(
+        ky, g, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [N, H_TILE, Q, C]
+    # df[h, w, c] += sum_{n, q} v[n, h, q, c] kx[n, q, w]
+    # accumulate box-by-box, statically unrolled (a batched
+    # [N, H, C, W] intermediate blows the VMEM budget; BOX_BLOCK tiny
+    # matmuls keep only one [H, C, W] tile live; Mosaic can't
+    # dynamic-slice vectors, so the loop must unroll)
+    contrib = jnp.zeros((v.shape[1], v.shape[3], kx.shape[2]),
+                        jnp.float32)
+    for i in range(v.shape[0]):
+        contrib += jax.lax.dot_general(
+            v[i], kx[i], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [H_TILE, C, W]
+    df_ref[...] += contrib.swapaxes(1, 2)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _backward_df(g, ky, kx, f_proto, interpret=False):
+    """dF via the Pallas scatter-free backward kernel."""
+    b, hdim, wdim, cdim = (f_proto.shape[0] or g.shape[0],
+                           f_proto.shape[1], f_proto.shape[2],
+                           f_proto.shape[3])
+    b = g.shape[0]
+    pooled = g.shape[2]
+    g = _pad_to(g.astype(jnp.float32), BWD_BOX_BLOCK, 1)
+    kyp = _pad_to(ky, BWD_BOX_BLOCK, 1)
+    kxp = _pad_to(kx, BWD_BOX_BLOCK, 1)
+    # zero padded boxes' contributions
+    np_ = g.shape[1]
+    hp = ((hdim + H_TILE - 1) // H_TILE) * H_TILE
+    ky_t = _pad_to(kyp.swapaxes(2, 3), H_TILE, 2)  # [B, N, Hp, P]
+
+    grid = (b, hp // H_TILE, np_ // BWD_BOX_BLOCK)
+    df = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BWD_BOX_BLOCK, pooled, pooled, cdim),
+                         lambda bi, hi, ni: (bi, ni, 0, 0, 0)),
+            pl.BlockSpec((1, BWD_BOX_BLOCK, H_TILE, pooled),
+                         lambda bi, hi, ni: (bi, ni, hi, 0)),
+            pl.BlockSpec((1, BWD_BOX_BLOCK, pooled, wdim),
+                         lambda bi, hi, ni: (bi, ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H_TILE, wdim, cdim),
+                               lambda bi, hi, ni: (bi, hi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wdim, cdim), jnp.float32),
+        # the accumulator + double-buffered streams sit ~24KB above the
+        # default 16M scoped budget; v5e VMEM is far larger
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(g, ky_t, kxp)
+    return df[:, :hdim].astype(f_proto.dtype)
+
+
 def _bwd(spatial_scale, pooled, sampling_ratio, interpret, res, g):
     ky, kx, f_proto = res
     h = f_proto.shape[1]
-    # dF[b,h,w,c] = sum_{n,p,q} g[b,n,p,q,c] ky[b,n,p,h] kx[b,n,q,w]
-    gy = jnp.einsum("bnpqc,bnph->bnqhc", g.astype(jnp.float32),
-                    ky[..., :h],
-                    precision=jax.lax.Precision.HIGHEST)
-    df = jnp.einsum("bnqhc,bnqw->bhwc", gy, kx,
-                    precision=jax.lax.Precision.HIGHEST)
-    return df.astype(f_proto.dtype), jnp.zeros(
-        (ky.shape[0], ky.shape[1], 4), jnp.float32)
+    df = _backward_df(g, ky[..., :h], kx, f_proto, interpret)
+    return df, jnp.zeros((ky.shape[0], ky.shape[1], 4), jnp.float32)
 
 
 roi_align_pallas.defvjp(_fwd, _bwd)

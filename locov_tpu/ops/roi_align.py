@@ -55,14 +55,36 @@ def _sample_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
     return lo[:, None, None] + (p + s) * bin_size[:, None, None]
 
 
-@partial(jax.jit, static_argnames=("pooled", "sampling_ratio", "chunk",
-                                   "precision"))
 def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
                       spatial_scale: float, pooled: int = 14,
                       sampling_ratio: int = 2, chunk: int = 32,
                       precision: str = "highest") -> jnp.ndarray:
     """Batched ROIAlign: features [B, H, W, C], boxes [B, N, 4] ->
-    [B, N, pooled, pooled, C].
+    [B, N, pooled, pooled, C]. Custom VJP: XLA's transpose of the
+    chunked forward scan costs ~7x the whole forward on TPU; the
+    hand-written backward is a chunked accumulation of Ky^T @ g @ Kx.
+    Boxes are non-differentiable (proposals are stop-gradient inputs,
+    matching d2)."""
+    return _roi_align_core(features, boxes, spatial_scale, pooled,
+                           sampling_ratio, chunk, precision)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _roi_align_core(features, boxes, spatial_scale, pooled,
+                    sampling_ratio, chunk, precision):
+    out, _ = _roi_align_impl(features, boxes, spatial_scale, pooled,
+                             sampling_ratio, chunk, precision)
+    return out
+
+
+@partial(jax.jit, static_argnames=("pooled", "sampling_ratio", "chunk",
+                                   "precision"))
+def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
+                    spatial_scale: float, pooled: int = 14,
+                    sampling_ratio: int = 2, chunk: int = 32,
+                    precision: str = "highest"):
+    """features [B, H, W, C], boxes [B, N, 4] ->
+    ([B, N, pooled, pooled, C], (ky, kx)).
 
     The batch is a native leading dim of the chunked einsums (a
     lax.map under vmap is an XLA compile-time hazard on TPU); boxes are
@@ -113,7 +135,70 @@ def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
         out = jax.lax.map(do_chunk, (ky, kx))
     out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * chunk, pooled,
                                           pooled, features.shape[3])
-    return out[:, :n].astype(features.dtype)
+    # ky/kx kept as [nchunks, B, chunk, P, dim] for the backward
+    return out[:, :n].astype(features.dtype), (ky, kx)
+
+
+def _roi_align_fwd(features, boxes, spatial_scale, pooled,
+                   sampling_ratio, chunk, precision):
+    out, (ky, kx) = _roi_align_impl(features, boxes, spatial_scale,
+                                    pooled, sampling_ratio, chunk,
+                                    precision)
+    f_proto = jnp.zeros((0,) + features.shape[1:], features.dtype)
+    return out, (ky, kx, f_proto, boxes.shape[1])
+
+
+def _roi_align_bwd(spatial_scale, pooled, sampling_ratio, chunk,
+                   precision, res, g):
+    """dF[b,h,w,c] = sum_n Ky[b,n]^T @ g[b,n] @ Kx[b,n], accumulated in
+    a scan over box chunks so no [*, P, W, C]-sized cotangent ever
+    spans more than one chunk."""
+    ky, kx, f_proto, n = res
+    nchunks = ky.shape[0]
+    b = ky.shape[1]
+    hdim, wdim, cdim = f_proto.shape[1], f_proto.shape[2], \
+        f_proto.shape[3]
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+
+    # re-chunk finer for the backward: every order of this triple
+    # contraction has a [B, bk, dim1, dim2, C] intermediate; keep bk
+    # small and contract the SMALL pooled axis first so the free dims
+    # are (H, Q) rather than (P, W)
+    bk = min(8, chunk)
+    total = nchunks * chunk
+    # in fast ("default") mode, stream cotangents/intermediates in bf16
+    # (the accumulator stays f32) — halves the HBM traffic that
+    # dominates this memory-bound pass
+    io_dtype = jnp.float32 if precision == "highest" else jnp.bfloat16
+    kyf = jnp.moveaxis(ky, 0, 1).reshape(b, total, pooled, hdim)
+    kxf = jnp.moveaxis(kx, 0, 1).reshape(b, total, pooled, wdim)
+    nck = total // bk
+    kyc = jnp.moveaxis(kyf.reshape(b, nck, bk, pooled, hdim),
+                       1, 0).astype(io_dtype)
+    kxc = jnp.moveaxis(kxf.reshape(b, nck, bk, pooled, wdim),
+                       1, 0).astype(io_dtype)
+    gpad = jnp.pad(g.astype(io_dtype),
+                   ((0, 0), (0, total - n), (0, 0), (0, 0), (0, 0)))
+    gc = jnp.moveaxis(
+        gpad.reshape(b, nck, bk, pooled, pooled, cdim), 1, 0)
+
+    def body(carry, inp):
+        ky_c, kx_c, g_c = inp  # [B, bk, P, dim] / [B, bk, P, Q, C]
+        # v[b,n,h,q,c] = sum_p ky[b,n,p,h] g[b,n,p,q,c]
+        v = jnp.einsum("bnph,bnpqc->bnhqc", ky_c, g_c, precision=prec,
+                       preferred_element_type=io_dtype)
+        # df[b,h,w,c] += sum_{n,q} v[b,n,h,q,c] kx[b,n,q,w]
+        df = jnp.einsum("bnhqc,bnqw->bhwc", v, kx_c, precision=prec,
+                        preferred_element_type=jnp.float32)
+        return carry + df, None
+
+    zero = jnp.zeros((b, hdim, wdim, cdim), jnp.float32)
+    df, _ = jax.lax.scan(body, zero, (kyc, kxc, gc))
+    return df.astype(f_proto.dtype), jnp.zeros((b, n, 4), jnp.float32)
+
+
+_roi_align_core.defvjp(_roi_align_fwd, _roi_align_bwd)
 
 
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
