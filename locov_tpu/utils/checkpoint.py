@@ -181,6 +181,155 @@ def torch_to_flax_leaf(torch_key: str, value: np.ndarray,
     return _t(v)
 
 
+# HF BERT parameter names (relative prefix) -> our flax BertModel paths.
+# Covers both a bare bert-base-uncased checkpoint ("bert.encoder...."
+# or "encoder....") and the reference LSM checkpoint's
+# language_backbone.body.bert_model.* embedding (transf_models.py:24).
+_BERT_LAYER_RULES = [
+    (r"attention\.self\.query\.(weight|bias)$",
+     "attention_self/query/{0}"),
+    (r"attention\.self\.key\.(weight|bias)$", "attention_self/key/{0}"),
+    (r"attention\.self\.value\.(weight|bias)$",
+     "attention_self/value/{0}"),
+    (r"attention\.output\.dense\.(weight|bias)$",
+     "attention_output/{0}"),
+    (r"attention\.output\.LayerNorm\.(weight|bias)$",
+     "attention_norm/{0}"),
+    (r"intermediate\.dense\.(weight|bias)$", "intermediate/{0}"),
+    (r"output\.dense\.(weight|bias)$", "output/{0}"),
+    (r"output\.LayerNorm\.(weight|bias)$", "output_norm/{0}"),
+]
+
+_BERT_EMB_RULES = [
+    (r"word_embeddings\.weight$", "embeddings/word_embeddings"),
+    (r"position_embeddings\.weight$", "embeddings/position_embeddings"),
+    (r"token_type_embeddings\.weight$",
+     "embeddings/token_type_embeddings"),
+    (r"LayerNorm\.(weight|bias)$", "embeddings/norm/{0}"),
+]
+
+
+def convert_bert_state_dict(state: Dict[str, np.ndarray],
+                            dest_prefix: str = "") -> Dict[str, np.ndarray]:
+    """Convert HF BERT names to our flax BertModel naming. dest_prefix
+    scopes the output (e.g. 'language_backbone/bert_model/'). The
+    embedding matrices stay untransposed; LayerNorm weight -> scale;
+    dense weights transpose [out,in] -> [in,out]."""
+    out = {}
+    leaf_map = {"weight": "kernel", "bias": "bias"}
+    for tk, tv in state.items():
+        tv = np.asarray(tv)
+        # strip common wrappers
+        name = re.sub(r"^(bert\.|bert_model\.|cls\.|module\.)", "", tk)
+        name = re.sub(r"^(language_backbone\.body\.bert_model\.)", "",
+                      name)
+        m = re.match(r"^embeddings\.(.+)$", name)
+        if m:
+            for pat, template in _BERT_EMB_RULES:
+                mm = re.match(pat, m.group(1))
+                if mm:
+                    fk = template
+                    if mm.groups():
+                        leaf = "scale" if mm.group(1) == "weight" \
+                            else "bias"
+                        fk = template.replace("{0}", leaf)
+                    out[dest_prefix + fk] = _t(tv)  # no transpose
+                    break
+            continue
+        m = re.match(r"^encoder\.layer\.(\d+)\.(.+)$", name)
+        if m:
+            layer, rest = m.group(1), m.group(2)
+            for pat, template in _BERT_LAYER_RULES:
+                mm = re.match(pat, rest)
+                if mm:
+                    leaf = leaf_map[mm.group(1)]
+                    if "norm" in template:
+                        leaf = "scale" if mm.group(1) == "weight" \
+                            else "bias"
+                    fk = (f"encoder/layer_{layer}/"
+                          + template.replace("{0}", leaf))
+                    v = _t(tv.T) if leaf == "kernel" else _t(tv)
+                    out[dest_prefix + fk] = v
+                    break
+            continue
+        if re.match(r"^pooler\.dense\.(weight|bias)$", name):
+            leaf = "kernel" if name.endswith("weight") else "bias"
+            v = _t(tv.T) if leaf == "kernel" else _t(tv)
+            out[dest_prefix + "pooler/dense/" + leaf] = v
+    return out
+
+
+# LSM-checkpoint extras: mmss-head modules (reference naming from
+# mmss_heads.py / transformer_head.py) -> our tree. The v2l_projection
+# maps to the shared tied projection.
+_LSM_EXTRA_RULES = [
+    (r"^mmss_heads\.GroundingHead\.v2l_projection\.(weight|bias)$",
+     "mmss_heads/v2l_projection/{0}"),
+    (r"^mmss_heads\.TransformerHead\.v2l_projection\.(weight|bias)$",
+     "mmss_heads/transformer_head/v2l_projection/{0}"),
+    (r"^mmss_heads\.TransformerHead\.visual_emb\.image_embeddings"
+     r"\.(weight|bias)$",
+     "mmss_heads/transformer_head/visual_emb/image_embeddings/{0}"),
+    (r"^mmss_heads\.TransformerHead\.visual_emb"
+     r"\.image_location_embeddings\.(weight|bias)$",
+     "mmss_heads/transformer_head/visual_emb/"
+     "image_location_embeddings/{0}"),
+    (r"^mmss_heads\.TransformerHead\.visual_emb\.LayerNorm"
+     r"\.(weight|bias)$",
+     "mmss_heads/transformer_head/visual_emb/norm/{0}"),
+    (r"^mmss_heads\.TransformerHead\.pooler\.dense\.(weight|bias)$",
+     "mmss_heads/transformer_head/pooler/dense/{0}"),
+    (r"^mmss_heads\.TransformerHead\.heads\.bi_seq_relationship"
+     r"\.(weight|bias)$",
+     "mmss_heads/transformer_head/bi_seq_relationship/{0}"),
+    (r"^mmss_heads\.TransformerHead\.heads\.predictions\.transform"
+     r"\.dense\.(weight|bias)$",
+     "mmss_heads/transformer_head/predictions/transform/dense/{0}"),
+    (r"^mmss_heads\.TransformerHead\.heads\.predictions\.transform"
+     r"\.LayerNorm\.(weight|bias)$",
+     "mmss_heads/transformer_head/predictions/transform/norm/{0}"),
+    (r"^mmss_heads\.TransformerHead\.heads\.predictions\.bias$",
+     "mmss_heads/transformer_head/predictions/decoder_bias"),
+]
+
+
+def convert_lsm_extras(state: Dict[str, np.ndarray]
+                       ) -> Dict[str, np.ndarray]:
+    """Convert the reference LSM checkpoint's mmss-head + transformer-
+    encoder weights. The 6-layer multimodal encoder lives at
+    mmss_heads.TransformerHead.encoder.layer.N.* in torch."""
+    out = {}
+    for tk, tv in state.items():
+        tv = np.asarray(tv)
+        for pat, template in _LSM_EXTRA_RULES:
+            m = re.match(pat, tk)
+            if m:
+                fk = template
+                if m.groups():
+                    leaf = m.group(1)
+                    is_norm = "/norm/" in fk or fk.endswith("norm/{0}")
+                    if leaf == "weight":
+                        leaf2 = "scale" if is_norm else "kernel"
+                    else:
+                        leaf2 = "bias"
+                    fk = fk.replace("{0}", leaf2)
+                    v = _t(tv.T) if leaf2 == "kernel" and tv.ndim == 2 \
+                        else _t(tv)
+                else:
+                    v = _t(tv)
+                out[fk] = v
+                break
+        else:
+            m = re.match(
+                r"^mmss_heads\.TransformerHead\.encoder\.(layer\..+)$",
+                tk)
+            if m:
+                out.update(convert_bert_state_dict(
+                    {"encoder." + m.group(1): tv},
+                    dest_prefix="mmss_heads/transformer_head/"))
+    return out
+
+
 # name-mapping rules: (regex on torch name) -> flax path template
 _D2_RULES = [
     # backbone
@@ -226,7 +375,8 @@ _TORCH_TO_FLAX_LEAF = {"weight": "kernel", "bias": "bias",
 def convert_d2_state_dict(state: Dict[str, np.ndarray]
                           ) -> Dict[str, np.ndarray]:
     """Convert a detectron2-style torch state_dict (the published
-    LocOV.pth / lsm_coco.pth) to our flat flax naming."""
+    LocOV.pth / lsm_coco.pth) to our flat flax naming: detector trunk,
+    language backbone (BERT), and the LSM mmss heads."""
     out = {}
     for tk, tv in state.items():
         tv = np.asarray(tv)
@@ -244,6 +394,13 @@ def convert_d2_state_dict(state: Dict[str, np.ndarray]
                 fk = fk.replace("/kernel", "/weight")
             out[fk] = torch_to_flax_leaf(tk, tv, fk)
             break
+    lang = {k: v for k, v in state.items()
+            if k.startswith("language_backbone.")}
+    if lang:
+        out.update(convert_bert_state_dict(
+            lang, dest_prefix="language_backbone/bert_model/"))
+    if any(k.startswith("mmss_heads.") for k in state):
+        out.update(convert_lsm_extras(state))
     return out
 
 
