@@ -165,6 +165,11 @@ class OVRTrainer:
             bs = max(cfg.SOLVER.IMS_PER_BATCH // jax.process_count(), 1)
         else:
             bs = max(cfg.TEST.IMS_PER_BATCH, 1)
+        # eval batches shard over the local mesh: round up to a multiple
+        # of the local device count (reference configs use
+        # TEST.IMS_PER_BATCH=1, which a multi-chip mesh can't split)
+        ndev = jax.local_device_count()
+        bs = ((bs + ndev - 1) // ndev) * ndev
         return DataLoader(records, mapper, sampler, bs, buckets,
                           cfg.TPU.MAX_GT_BOXES,
                           has_text=self.needs_text, is_train=False,

@@ -92,6 +92,28 @@ def test_lsm_train_step(micro_root):
     trainer.run_step()
     trainer.flush_metrics()  # metrics are pipelined one step behind
     hist = trainer.storage.histories()
+    _check_lsm_metrics(hist)
+    _check_lsm_eval(trainer, cfg)
+
+
+def _check_lsm_eval(trainer, cfg):
+    """loss_and_coco eval: loss-only pass + detection metrics on a
+    caption+detection test set (reference evaluator.py:83-92)."""
+    cfg.defrost()
+    cfg.DATASETS.TEST = ("coco_captions_val",)
+    cfg.TEST.IMS_PER_BATCH = 1  # must round up to the mesh size
+    cfg.freeze()
+    results = trainer.test(cfg)
+    res = results["coco_captions_val"]
+    assert "AP50" in res, sorted(res)[:10]
+    assert any("CE_loss" in k for k in res), sorted(res)[:10]
+    assert "Total Loss" in res
+    for k, v in res.items():
+        if isinstance(v, float) and "AP" not in k and "AR" not in k:
+            assert np.isfinite(v), k
+
+
+def _check_lsm_metrics(hist):
     for key in ["loss_rpn_cls", "loss_cls",
                 "CE_loss (Align Words, Choose Caption)",
                 "Masked Language Modeling Loss", "kd_loss",
