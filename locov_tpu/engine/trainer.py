@@ -97,6 +97,8 @@ class OVRTrainer:
         self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=2)
         if cfg.MODEL.WEIGHTS:
             self.load_pretrained(cfg.MODEL.WEIGHTS)
+        if cfg.MODEL.PROJECTION_WEIGHTS:
+            self.load_projection_only(cfg.MODEL.PROJECTION_WEIGHTS)
 
         frozen_fn = default_frozen_fn(cfg)
         self.optimizer, self.schedule = build_optimizer(
@@ -225,16 +227,48 @@ class OVRTrainer:
                     "" if same_arch else " (stage-transfer rename map)")
         self.params = {**self.params, "params": unflatten_params(merged)}
 
+    def load_projection_only(self, weights: str):
+        """Load ONLY the V->L projection (v2l_projection / emb_pred)
+        from a checkpoint (reference WSOGCheckpointer projection-only
+        load, checkpoint.py:119-183)."""
+        if not os.path.exists(weights):
+            logger.warning("PROJECTION_WEIGHTS %s not found", weights)
+            return
+        if weights.endswith((".pth", ".pkl")):
+            flat_src = convert_d2_state_dict(load_torch_file(weights))
+        else:
+            state = self.checkpointer.load(weights)
+            src = state["params"] if "params" in state else state
+            if "params" in src:
+                src = src["params"]
+            flat_src = flatten_params(src)
+        proj = {k: v for k, v in flat_src.items()
+                if "v2l_projection" in k or "emb_pred" in k}
+        flat_dst = flatten_params(self.params["params"])
+        merged, _ = load_with_rename_map(proj, flat_dst,
+                                         STT_FROM_LSM_RENAME)
+        logger.info("Loaded projection-only weights (%d source keys) "
+                    "from %s", len(proj), weights)
+        self.params = {**self.params, "params": unflatten_params(merged)}
+
     def resume_or_load(self, resume: bool):
         """Resume from last_checkpoint, else load MODEL.WEIGHTS with the
         stage-transfer rename fan-out (trainer.py:293-363)."""
         if resume and self.checkpointer.has_checkpoint():
             name = self.checkpointer.last_checkpoint()
             state = self.checkpointer.load(name)
-            self.params = state["params"]
-            self.opt_state = jax.tree.map(
-                jnp.asarray, state["opt_state"],
-                is_leaf=lambda x: not isinstance(x, dict))
+            self.params = jax.tree.map(jnp.asarray, state["params"])
+            # orbax restores NamedTuples as plain dicts — rebuild the
+            # optimizer-state structure
+            restored = state.get("opt_state")
+            if isinstance(restored, dict) and "momentum" in restored:
+                from .solver import SGDState
+                self.opt_state = SGDState(
+                    momentum=jax.tree.map(jnp.asarray,
+                                          restored["momentum"]),
+                    step=jnp.asarray(restored["step"]))
+            elif restored is not None:
+                self.opt_state = jax.tree.map(jnp.asarray, restored)
             self.start_iter = self.checkpointer.resume_iteration(name)
             self.storage.iter = self.start_iter
             logger.info("Resumed from %s at iter %d", name,

@@ -80,7 +80,7 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
     num_warmup = min(5, total - 1)
     start = time.perf_counter()
     compute_time = 0.0
-    n_images = 0
+    n_timed = 0
     for idx, batch in enumerate(loader):
         t0 = time.perf_counter()
         dets = eval_step(params, batch, class_emb)
@@ -90,19 +90,20 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
         for i, img_id in enumerate(ids):
             if img_id < 0:
                 continue  # loader padding
+            if idx > num_warmup:
+                n_timed += 1
             m = dets.mask[i]
             if not m.any():
                 continue
             evaluator.process(int(img_id), dets.boxes[i][m],
                               dets.scores[i][m],
                               inv[dets.classes[i][m]])
-            n_images += 1
         if idx == num_warmup:
             compute_time = 0.0
             start = time.perf_counter()
 
     elapsed = time.perf_counter() - start
-    denom = max(n_images - num_warmup, 1)
+    denom = max(n_timed, 1)
     logger.info(
         "Total inference time: %s (%.6f s / img)",
         datetime.timedelta(seconds=int(elapsed)), elapsed / denom)

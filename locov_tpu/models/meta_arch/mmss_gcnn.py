@@ -258,7 +258,9 @@ class DistillProposalMMSSRCNN(nn.Module):
             load_emb_pred_from_mmss=cfg.MODEL.LOAD_EMB_PRED_FROM_MMSS_HEAD,
             compute_dtype=dtype,
             lang_bert_cfg=tuple(_lang_bert_cfg(cfg)),
-            remat_backbone=cfg.TPU.REMAT_BACKBONE)
+            remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
+                     != 'PrecomputedProposals'))
         kw.update(overrides)
         return cls(**kw)
 
@@ -348,9 +350,13 @@ class DistillProposalMMSSRCNN(nn.Module):
 
     # --------------------------------------------------------------- train
     def losses(self, batch: DetectionBatch, class_emb: jnp.ndarray,
-               rng: jax.Array) -> Tuple[Dict, Dict]:
+               rng: jax.Array, deterministic: bool = True
+               ) -> Tuple[Dict, Dict]:
         """Returns (mmss_outputs, losses) — the reference's tuple
-        contract (distill_prop_mmss_gcnn.py:477)."""
+        contract (distill_prop_mmss_gcnn.py:477). Training passes
+        deterministic=False (+ a 'dropout' rng via apply) so the
+        transformer-head/visual-embedding dropout is live, matching the
+        reference's model.train() behavior."""
         images = batch.images
         gt = batch.gt
         r_rpn, r_sample, r_drop, r_box, r_heads1, r_heads2 = \
@@ -389,7 +395,8 @@ class DistillProposalMMSSRCNN(nn.Module):
             if self.spatial_dropout_k > 0:
                 regions = spatial_dropout(regions, self.spatial_dropout_k,
                                           r_drop)
-            o, l, d = self.mmss_heads(regions, caption, word_emb, r_heads1)
+            o, l, d = self.mmss_heads(regions, caption, word_emb, r_heads1,
+                                      deterministic=deterministic)
             mmss_outputs.update(o)
             losses.update(l)
             dists.update(d)
@@ -398,7 +405,8 @@ class DistillProposalMMSSRCNN(nn.Module):
         k = self.spatial_dropout_k if self.spatial_dropout_k > 0 else s
         bregions = box_regions(sampled.boxes, box_feats, sampled.valid,
                                images.hw.astype(jnp.float32), k, r_box)
-        o, l, d = self.mmss_heads(bregions, caption, word_emb, r_heads2)
+        o, l, d = self.mmss_heads(bregions, caption, word_emb, r_heads2,
+                                  deterministic=deterministic)
         mmss_outputs.update({"Box " + k2: v for k2, v in o.items()})
         losses.update({"Box " + k2: v for k2, v in l.items()})
         dists.update({"box_" + k2: v for k2, v in d.items()})
@@ -554,7 +562,8 @@ class MMSSGridModel(nn.Module):
         else:
             self._distill = None
 
-    def losses(self, batch: DetectionBatch, class_emb, rng: jax.Array):
+    def losses(self, batch: DetectionBatch, class_emb, rng: jax.Array,
+               deterministic: bool = True):
         images = batch.images
         r_drop, r_heads = jax.random.split(rng)
         caption = self.language_backbone(batch.text, deterministic=True)
@@ -568,8 +577,9 @@ class MMSSGridModel(nn.Module):
             regions = spatial_dropout(regions, self.spatial_dropout_k,
                                       r_drop)
         word_emb = self.language_backbone.word_embedding_matrix()
-        outputs, losses, dists = self.mmss_heads(regions, caption,
-                                                 word_emb, r_heads)
+        outputs, losses, dists = self.mmss_heads(
+            regions, caption, word_emb, r_heads,
+            deterministic=deterministic)
         if self._distill is not None:
             losses["kd_loss"] = self._distill(
                 dists["trans"], dists["w2r"], dists["r2w"])

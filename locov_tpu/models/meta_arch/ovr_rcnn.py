@@ -67,7 +67,9 @@ class OvrRCNN(nn.Module):
             rcfg=ROIHeadsConfig.from_cfg(cfg),
             pcfg=BoxPredictorConfig.from_cfg(cfg),
             compute_dtype=dtype,
-            remat_backbone=cfg.TPU.REMAT_BACKBONE)
+            remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
+                     != 'PrecomputedProposals'))
         kw.update(overrides)
         return cls(**kw)
 
@@ -113,7 +115,8 @@ class OvrRCNN(nn.Module):
 
     # ---------------------------------------------------------------- train
     def losses(self, batch: DetectionBatch, class_emb: jnp.ndarray,
-               rng: jax.Array) -> Dict[str, jnp.ndarray]:
+               rng: jax.Array,
+               deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         """Training forward; the reference returns ``({}, losses)``
         (ovr_rcnn.py:74), we return the loss dict."""
         images = batch.images

@@ -80,10 +80,12 @@ def make_train_step(model, optimizer, mesh: Mesh,
 
     def local_grads(params, batch, class_emb, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng, r_drop = jax.random.split(rng)
 
         def loss_fn(p):
-            res = model.apply(p, batch, class_emb, rng,
-                              method=model.losses)
+            res = model.apply(p, batch, class_emb, rng, False,
+                              method=model.losses,
+                              rngs={"dropout": r_drop})
             if isinstance(res, tuple):
                 outputs, losses = res
             else:
@@ -127,9 +129,12 @@ def _make_global_train_step(model, optimizer, mesh: Mesh,
         out_shardings=(replicated(mesh), replicated(mesh),
                        replicated(mesh)))
     def step(params, opt_state, batch, class_emb, rng):
+        rng, r_drop = jax.random.split(rng)
+
         def loss_fn(p):
-            res = model.apply(p, batch, class_emb, rng,
-                              method=model.losses)
+            res = model.apply(p, batch, class_emb, rng, False,
+                              method=model.losses,
+                              rngs={"dropout": r_drop})
             outputs, losses = res if isinstance(res, tuple) else ({}, res)
             total = sum(jax.tree.leaves(losses))
             return total, (losses, outputs)

@@ -136,18 +136,22 @@ class CSVWriter:
                 continue  # repeated-value suppression
             row[k] = h.latest
             self._last[k] = (h.latest_iter, h.latest)
+        import csv
         if self._columns is None:
             self._columns = sorted(set(row))
-            with open(self.path, "a") as f:
-                f.write(",".join(self._columns) + "\n")
+            with open(self.path, "a", newline="") as f:
+                csv.writer(f).writerow(self._columns)
         missing = [c for c in row if c not in self._columns]
         if missing:
+            # metric names appear lazily (e.g. eval metrics); record the
+            # expanded column set in a comment row (proper csv quoting —
+            # many metric names contain commas)
             self._columns += sorted(missing)
-            with open(self.path, "a") as f:
-                f.write("# columns: " + ",".join(self._columns) + "\n")
-        with open(self.path, "a") as f:
-            f.write(",".join(str(row.get(c, "")) for c in self._columns)
-                    + "\n")
+            with open(self.path, "a", newline="") as f:
+                csv.writer(f).writerow(["# columns"] + self._columns)
+        with open(self.path, "a", newline="") as f:
+            csv.writer(f).writerow(
+                [row.get(c, "") for c in self._columns])
 
 
 class TensorboardWriter:

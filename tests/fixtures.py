@@ -148,6 +148,12 @@ def micro_cfg(root: str, arch: str = "OvrRCNN"):
     cfg.SOLVER.CHECKPOINT_PERIOD = 2
     cfg.SOLVER.LOG_PERIOD = 1
     cfg.SOLVER.WARMUP_ITERS = 1
+    # raw RPN losses on random init are ~1e4; without clipping a few
+    # SGD steps at BASE_LR explode (the reference LSM config also
+    # clips, coco_lsm.yaml:112-113)
+    cfg.SOLVER.BASE_LR = 0.0001
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 5.0
     cfg.TEST.EVAL_PERIOD = 0
     cfg.DATALOADER.NUM_WORKERS = 0
     cfg.MODEL.MMSS_HEAD.TRANSFORMER.BERT_CONFIG.vocab_size = 200

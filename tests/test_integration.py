@@ -56,9 +56,13 @@ def test_stt_train_and_eval(micro_root):
     assert os.path.exists(os.path.join(cfg.OUTPUT_DIR, "metrics.json"))
 
     # resume path: a fresh trainer restores iteration from checkpoint
+    # AND can continue training (opt_state structure round-trips)
     trainer2 = OVRTrainer(cfg)
     trainer2.resume_or_load(resume=True)
     assert trainer2.start_iter == cfg.SOLVER.MAX_ITER
+    trainer2.run_step()
+    trainer2.flush_metrics()
+    assert np.isfinite(trainer2.storage.histories()["total_loss"].latest)
 
 
 def test_lsm_train_step(micro_root):

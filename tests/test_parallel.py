@@ -15,7 +15,8 @@ class ToyContrastive:
     a batch-coupled (contrastive-like) loss so local vs global scope
     give DIFFERENT losses but comparable grads."""
 
-    def apply(self, params, batch, class_emb, rng, method=None):
+    def apply(self, params, batch, class_emb, rng, deterministic=True,
+              method=None, rngs=None):
         x = batch["x"]  # [B, D]
         emb = x @ params["params"]["w"]  # [B, D]
         # BxB contrastive: logsoftmax over the batch
