@@ -105,6 +105,35 @@ def make_micro_coco(root: str, n_train: int = 8, n_val: int = 4,
         with open(os.path.join(dd, "proposals", name), "wb") as f:
             pickle.dump(props, f)
 
+    # LVIS-format annotations over the same val images (synonyms +
+    # frequency buckets; file names via coco_url like lvis v1)
+    lvis_dir = os.path.join(dd, "lvis")
+    os.makedirs(lvis_dir, exist_ok=True)
+    lvis_cats = [
+        {"id": 1, "synonyms": ["cat"], "frequency": "f"},
+        {"id": 2, "synonyms": ["dog"], "frequency": "c"},
+        {"id": 3, "synonyms": ["car"], "frequency": "r"},
+    ]
+    def lvis_images(images, split):
+        return [{"id": im["id"], "height": im["height"],
+                 "width": im["width"],
+                 "coco_url": f"http://images.cocodataset.org/"
+                             f"{split}2017/{im['file_name']}",
+                 "neg_category_ids": [],
+                 "not_exhaustive_category_ids": []}
+                for im in images]
+    for split, ims, anns in [("train", tr_im, tr_an),
+                             ("val", va_im, va_an)]:
+        with open(os.path.join(lvis_dir,
+                               f"lvis_v1_{split}.json"), "w") as f:
+            json.dump({"images": lvis_images(ims, split),
+                       "annotations": anns,
+                       "categories": lvis_cats}, f)
+    with open(os.path.join(dd, "embeddings",
+                           "lvis_v1_nouns_bertemb.json"), "w") as f:
+        json.dump({n: rng.randn(emb_dim).tolist()
+                   for n in CLASS_NAMES}, f)
+
     # tiny BERT vocab covering the caption words
     from locov_tpu.data.tokenization import build_tiny_vocab
     vocab = build_tiny_vocab(
