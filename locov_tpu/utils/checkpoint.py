@@ -359,7 +359,7 @@ _D2_RULES = [
     (r"^roi_heads\.res5\.(\d+)\.shortcut\.weight$",
      "roi_heads/res5/{0}/shortcut/kernel"),
     (r"^roi_heads\.res5\.(\d+)\.shortcut\.norm\.(\w+)$",
-     "roi_heads/res5/{0}/shortcut_norm/{2}"),
+     "roi_heads/res5/{0}/shortcut_norm/{1}"),
     # box predictor
     (r"^roi_heads\.box_predictor\.bbox_pred\.(weight|bias)$",
      "roi_heads/box_predictor/bbox_pred/{0}"),

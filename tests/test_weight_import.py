@@ -15,22 +15,47 @@ from locov_tpu.utils.checkpoint import (convert_bert_state_dict,
                                         flatten_params)
 
 
+_BN_LEAVES = ["weight", "bias", "running_mean", "running_var"]
+
+
+def _add_bottleneck_stage(add, prefix, n_blocks, c_in, c_mid, c_out):
+    """Emit every torch param name of a d2 ResNet bottleneck stage:
+    conv1/2/3 (+ FrozenBN stats) per block, shortcut (+ norm) on block
+    0 — the complete surface a real R-50-C4 checkpoint contains."""
+    for b in range(n_blocks):
+        cin = c_in if b == 0 else c_out
+        add(f"{prefix}.{b}.conv1.weight", c_mid, cin, 1, 1)
+        add(f"{prefix}.{b}.conv2.weight", c_mid, c_mid, 3, 3)
+        add(f"{prefix}.{b}.conv3.weight", c_out, c_mid, 1, 1)
+        for conv, ch in [("conv1", c_mid), ("conv2", c_mid),
+                         ("conv3", c_out)]:
+            for leaf in _BN_LEAVES:
+                add(f"{prefix}.{b}.{conv}.norm.{leaf}", ch)
+        if b == 0:
+            add(f"{prefix}.0.shortcut.weight", c_out, cin, 1, 1)
+            for leaf in _BN_LEAVES:
+                add(f"{prefix}.0.shortcut.norm.{leaf}", c_out)
+
+
 def _fake_torch_lsm_state(nlayers_lang=2, nlayers_head=2, hidden=16,
                           vocab=50, inter=32, v_dim=2048):
-    """Random tensors under the reference's torch names."""
+    """Random tensors under the reference's torch names — a COMPLETE
+    R-50-C4 LSM surface (every backbone/res5 block incl. shortcut
+    norms), so 'every converted key must land' really covers the
+    import path for a real lsm_coco.pth."""
     rng = np.random.RandomState(0)
     s = {}
 
     def add(name, *shape):
         s[name] = rng.randn(*shape).astype(np.float32)
 
-    # backbone (one block per stage suffices for naming checks)
+    # backbone: full R-50 stem + res2(3)/res3(4)/res4(6)
     add("backbone.stem.conv1.weight", 64, 3, 7, 7)
-    for leaf in ["weight", "bias", "running_mean", "running_var"]:
+    for leaf in _BN_LEAVES:
         add(f"backbone.stem.conv1.norm.{leaf}", 64)
-    add("backbone.res2.0.conv1.weight", 64, 64, 1, 1)
-    add("backbone.res2.0.conv1.norm.weight", 64)
-    add("backbone.res4.5.conv3.weight", 1024, 256, 1, 1)
+    _add_bottleneck_stage(add, "backbone.res2", 3, 64, 64, 256)
+    _add_bottleneck_stage(add, "backbone.res3", 4, 256, 128, 512)
+    _add_bottleneck_stage(add, "backbone.res4", 6, 512, 256, 1024)
     # rpn
     add("proposal_generator.rpn_head.conv.weight", 1024, 1024, 3, 3)
     add("proposal_generator.rpn_head.conv.bias", 1024)
@@ -40,11 +65,12 @@ def _fake_torch_lsm_state(nlayers_lang=2, nlayers_head=2, hidden=16,
     add("proposal_generator.rpn_head.anchor_deltas.weight",
         60, 1024, 1, 1)
     add("proposal_generator.rpn_head.anchor_deltas.bias", 60)
-    # roi res5 + predictor
-    add("roi_heads.res5.0.conv1.weight", 512, 1024, 1, 1)
-    add("roi_heads.res5.0.conv1.norm.weight", 512)
+    # roi res5 (full 3-block stage incl. shortcut norm) + predictor
+    _add_bottleneck_stage(add, "roi_heads.res5", 3, 1024, 512, 2048)
     add("roi_heads.box_predictor.bbox_pred.weight", 4, v_dim)
     add("roi_heads.box_predictor.bbox_pred.bias", 4)
+    add("roi_heads.box_predictor.emb_pred.weight", hidden, v_dim)
+    add("roi_heads.box_predictor.emb_pred.bias", hidden)
     # language backbone (embeddings-only BertEmbedding path)
     lb = "language_backbone.body.bert_model."
     add(lb + "embeddings.word_embeddings.weight", vocab, hidden)
@@ -142,6 +168,12 @@ def test_lsm_torch_names_align_with_flax_tree():
     optional = {
         "language_backbone/bert_model/embeddings/norm/scale",
         "language_backbone/bert_model/embeddings/norm/bias",
+        # with TIE_VL_PROJECTION_WEIGHTS the detector's emb_pred IS the
+        # shared mmss_heads/v2l_projection param (one tensor in our
+        # tree); the torch checkpoint stores the tied tensor under both
+        # names, and the v2l name is the one that lands
+        "roi_heads/box_predictor/emb_pred/kernel",
+        "roi_heads/box_predictor/emb_pred/bias",
     }
     hits, misses = [], []
     for k, v in converted.items():
@@ -155,6 +187,17 @@ def test_lsm_torch_names_align_with_flax_tree():
     # shape (this is what makes real lsm_coco.pth ingestion work)
     assert not misses, f"unmatched converted keys: {misses}"
     assert len(hits) > 50
+    # regression: the res5 shortcut FrozenBN import (a '{2}' template
+    # typo once made this key literally 'roi_heads/res5/0/shortcut_norm/{2}')
+    for leaf in ["weight", "bias", "running_mean", "running_var"]:
+        assert f"roi_heads/res5/0/shortcut_norm/{leaf}" in hits
+    # full-surface coverage: every trunk param of the live tree must be
+    # populated by the synthetic checkpoint (catches silent import gaps)
+    uncovered = [k for k in flat
+                 if k.split("/")[0] in ("backbone", "rpn_head",
+                                        "roi_heads")
+                 and k not in hits]
+    assert not uncovered, f"live params never imported: {uncovered}"
 
 
 def test_bare_hf_bert_conversion():
