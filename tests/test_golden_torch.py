@@ -1,0 +1,493 @@
+"""Golden-parity battery against the installed torch / transformers.
+
+Round-1 tests validated every op against math re-derived in-repo;
+these tests instead transplant weights into *external* implementations
+(HF ``BertModel``/``BertTokenizer``, ``torch.optim.SGD``, a torch
+build of the d2 FrozenBN bottleneck conventions, and torch's
+``grid_sample`` bilinear kernel) and assert numeric agreement. This is
+the strongest reference-consistency evidence available without the
+real COCO checkpoints (torchvision/pycocotools are not installed).
+
+Reference call sites being mirrored:
+- BERT forward: ovr/modeling/language/transf_models.py:5,11-15
+- tokenizer:    transf_models.py:26-33 (HF bert-base-uncased, lowercase)
+- SGD:          ovr/engine/solver.py:28-32 (torch.optim.SGD momentum/nesterov)
+- ResNet/FrozenBN: d2 BottleneckBlock conventions (stride_in_1x1)
+- ROIAlign:     detectron2 ROIAlign aligned=True (roi_emb_heads.py:182-187)
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from locov_tpu.utils.checkpoint import (convert_bert_state_dict,
+                                        convert_d2_state_dict,
+                                        flatten_params, unflatten_params)
+
+torch.manual_seed(0)
+
+
+# ===================================================================== BERT
+def _small_bert_cfgs():
+    from transformers import BertConfig as HFBertConfig
+    from locov_tpu.models.bert import BertConfig
+    kw = dict(vocab_size=120, hidden_size=32, num_hidden_layers=3,
+              num_attention_heads=4, intermediate_size=64,
+              max_position_embeddings=64, hidden_dropout_prob=0.0,
+              attention_probs_dropout_prob=0.0)
+    return HFBertConfig(**kw), BertConfig(**kw)
+
+
+def test_bert_forward_matches_hf():
+    """Our flax BertModel == HF BertModel after weight transplant via
+    convert_bert_state_dict (the exact path a real bert-base-uncased
+    checkpoint takes)."""
+    from transformers import BertModel as HFBertModel
+    from locov_tpu.models.bert import BertModel
+
+    hf_cfg, our_cfg = _small_bert_cfgs()
+    hf = HFBertModel(hf_cfg).eval()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    converted = convert_bert_state_dict(state)
+
+    model = BertModel(our_cfg)
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 120, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    mask[1, 8:] = 0
+    ids[1, 8:] = 0
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(mask))
+    flat = flatten_params(params["params"])
+    # full coverage: every live param must come from the HF checkpoint
+    missing = [k for k in flat if k not in converted]
+    assert not missing, f"no HF source for: {missing}"
+    new_flat = {k: converted[k].astype(np.float32) for k in flat}
+    params = {"params": unflatten_params(new_flat)}
+
+    with jax.default_matmul_precision("highest"):
+        ours = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(ids.astype(np.int64)),
+                    attention_mask=torch.from_numpy(
+                        mask.astype(np.int64))).last_hidden_state.numpy()
+    # padded positions still flow through HF's encoder; compare all
+    np.testing.assert_allclose(np.asarray(ours), theirs,
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_bert_pooler_and_lm_head_match_hf():
+    """Pooler tanh-dense and the tied LM prediction head vs HF."""
+    from transformers import BertForPreTraining
+    from locov_tpu.models.bert import (BertLMHead, BertModel, BertPooler)
+
+    hf_cfg, our_cfg = _small_bert_cfgs()
+    hf = BertForPreTraining(hf_cfg).eval()
+    state = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    converted = convert_bert_state_dict(state)
+
+    rng = np.random.RandomState(1)
+    ids = rng.randint(1, 120, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+
+    model = BertModel(our_cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                        jnp.asarray(mask))
+    flat = flatten_params(params["params"])
+    params = {"params": unflatten_params(
+        {k: converted[k].astype(np.float32) for k in flat})}
+    with jax.default_matmul_precision("highest"):
+        hidden = model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+
+    # pooler
+    pooler = BertPooler(our_cfg)
+    pp = {"params": {"dense": {
+        "kernel": converted["pooler/dense/kernel"].astype(np.float32),
+        "bias": converted["pooler/dense/bias"].astype(np.float32)}}}
+    with jax.default_matmul_precision("highest"):
+        pooled = pooler.apply(pp, hidden)
+
+    # LM head (HF names: cls.predictions.*; our converter strips "cls.")
+    lm = BertLMHead(our_cfg)
+    word = converted["embeddings/word_embeddings"].astype(np.float32)
+    lp = {"params": {
+        "transform": {
+            "dense": {
+                "kernel": state["cls.predictions.transform.dense.weight"
+                                ].T.astype(np.float32),
+                "bias": state["cls.predictions.transform.dense.bias"
+                              ].astype(np.float32)},
+            "norm": {
+                "scale": state["cls.predictions.transform.LayerNorm.weight"
+                               ].astype(np.float32),
+                "bias": state["cls.predictions.transform.LayerNorm.bias"
+                              ].astype(np.float32)}},
+        "decoder_bias": state["cls.predictions.bias"].astype(np.float32),
+    }}
+    with jax.default_matmul_precision("highest"):
+        logits = lm.apply(lp, hidden, jnp.asarray(word))
+
+    with torch.no_grad():
+        tids = torch.from_numpy(ids.astype(np.int64))
+        tmask = torch.from_numpy(mask.astype(np.int64))
+        hf_logits = hf(tids, attention_mask=tmask
+                       ).prediction_logits.numpy()
+        hf_pooled = hf.bert(tids, attention_mask=tmask
+                            ).pooler_output.numpy()
+    np.testing.assert_allclose(np.asarray(pooled), hf_pooled,
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=3e-5, rtol=1e-5)
+
+
+# ================================================================ tokenizer
+_VOCAB = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+    "the", "quick", "brown", "fox", "jump", "##s", "##ed", "over",
+    "lazy", "dog", "a", "un", "##aff", "##able", "##wanted",
+    "cafe", "naive", "resume", "angstrom",
+    "12", "##34", "##5", "1", "2",
+    "!", ",", ".", "?", "'", '"', "-", "(", ")",
+    "我", "爱", "中", "文",
+    "hello", "world", "run", "##ning", "##ly",
+]
+
+_CORPUS = [
+    "The quick brown fox jumps over the lazy dog.",
+    "unaffable, unwanted!! running quickly?",
+    "café naïve résumé Ångström",     # accents
+    "我爱 hello 中文 world",                         # CJK
+    "12345 12 1 2",
+    "  (hello)   'world' \"the\"  ",
+    "zzzzqqqq unknownword",                                          # -> UNK
+    "x" * 150,                                          # > max_chars_per_word
+    "",                                                              # empty
+    "hello\tworld\nthe\rdog",                                        # ws
+    "the\x00dog�runs",                                          # control
+]
+
+
+@pytest.fixture(scope="module")
+def vocab_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tok") / "vocab.txt"
+    p.write_text("\n".join(_VOCAB) + "\n", encoding="utf-8")
+    return str(p)
+
+
+def test_wordpiece_matches_hf_tokenizer(vocab_file):
+    from transformers import BertTokenizer
+    from locov_tpu.data.tokenization import WordPieceTokenizer
+
+    hf = BertTokenizer(vocab_file, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(vocab_file, lowercase=True)
+    for text in _CORPUS:
+        assert ours.tokenize(text) == hf.tokenize(text), repr(text)
+
+
+def test_encode_matches_hf_tokenizer(vocab_file):
+    """ids / attention_mask / special_tokens_mask vs HF's
+    tokenizer(..., padding='max_length', truncation=True) — the exact
+    surface the reference uses (transf_models.py:26-33)."""
+    from transformers import BertTokenizer
+    from locov_tpu.data.tokenization import WordPieceTokenizer
+
+    L = 16
+    hf = BertTokenizer(vocab_file, do_lower_case=True)
+    ours = WordPieceTokenizer.from_vocab_file(vocab_file, lowercase=True)
+    for text in _CORPUS:
+        enc = hf(text, max_length=L, padding="max_length",
+                 truncation=True, return_special_tokens_mask=True)
+        ids, attn, special = ours.encode(text, L)
+        assert ids.tolist() == enc["input_ids"], repr(text)
+        assert attn.tolist() == enc["attention_mask"], repr(text)
+        assert special.tolist() == enc["special_tokens_mask"], repr(text)
+
+
+# ====================================================================== SGD
+def test_sgd_update_sequence_matches_torch():
+    """Our optax SGD (torch semantics: wd folded into grad, momentum
+    buffer, nesterov lookahead) vs torch.optim.SGD over 8 steps with a
+    multistep+warmup lr schedule applied identically to both."""
+    from locov_tpu.config import get_cfg
+    from locov_tpu.engine.solver import build_optimizer
+
+    for nesterov in [False, True]:
+        cfg = get_cfg()
+        cfg.SOLVER.BASE_LR = 0.02
+        cfg.SOLVER.MOMENTUM = 0.9
+        cfg.SOLVER.NESTEROV = nesterov
+        cfg.SOLVER.WEIGHT_DECAY = 1e-4
+        cfg.SOLVER.WEIGHT_DECAY_NORM = 0.0
+        cfg.SOLVER.BIAS_LR_FACTOR = 2.0
+        cfg.SOLVER.WEIGHT_DECAY_BIAS = 5e-5
+        cfg.SOLVER.STEPS = (5,)
+        cfg.SOLVER.GAMMA = 0.1
+        cfg.SOLVER.WARMUP_ITERS = 3
+        cfg.SOLVER.WARMUP_FACTOR = 0.25
+        cfg.SOLVER.WARMUP_METHOD = "linear"
+        cfg.SOLVER.CLIP_GRADIENTS.ENABLED = False
+
+        rng = np.random.RandomState(2)
+        p0 = {"dense": {"kernel": rng.randn(6, 4).astype(np.float32),
+                        "bias": rng.randn(4).astype(np.float32)},
+              "conv1_norm": {"weight": rng.randn(4).astype(np.float32),
+                             "bias": rng.randn(4).astype(np.float32)}}
+        params = jax.tree.map(jnp.asarray, p0)
+        tx, schedule = build_optimizer(cfg, params)
+        state = tx.init(params)
+
+        # torch mirror: groups replicate the reference's
+        # get_default_optimizer_params assignment (solver.py:84-94 —
+        # norm params get wd_norm, other biases get bias_lr_factor +
+        # wd_bias); lr is set per-step from the same schedule
+        tparams = {}
+        for k1 in p0:
+            for k2 in p0[k1]:
+                tparams[f"{k1}/{k2}"] = torch.nn.Parameter(
+                    torch.from_numpy(p0[k1][k2].copy()))
+        groups = [
+            {"params": [tparams["dense/kernel"]], "lr_factor": 1.0,
+             "weight_decay": 1e-4},
+            {"params": [tparams["dense/bias"]], "lr_factor": 2.0,
+             "weight_decay": 5e-5},
+            {"params": [tparams["conv1_norm/weight"]], "lr_factor": 1.0,
+             "weight_decay": 0.0},
+            {"params": [tparams["conv1_norm/bias"]], "lr_factor": 1.0,
+             "weight_decay": 0.0},
+        ]
+        opt = torch.optim.SGD(
+            [{"params": g["params"], "lr": 0.02 * g["lr_factor"],
+              "weight_decay": g["weight_decay"]} for g in groups],
+            lr=0.02, momentum=0.9, nesterov=nesterov)
+
+        for step in range(8):
+            grads = jax.tree.map(
+                lambda p: jnp.asarray(
+                    np.sin(np.arange(p.size, dtype=np.float32)
+                           + step).reshape(p.shape)), params)
+            lr = float(schedule(step))
+            for g, spec in zip(opt.param_groups, groups):
+                g["lr"] = lr * spec["lr_factor"]
+            for name, tp in tparams.items():
+                k1, k2 = name.split("/")
+                tp.grad = torch.from_numpy(
+                    np.asarray(grads[k1][k2]).copy())
+            opt.step()
+            updates, state = tx.update(grads, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        for k1 in p0:
+            for k2 in p0[k1]:
+                np.testing.assert_allclose(
+                    np.asarray(params[k1][k2]),
+                    tparams[f"{k1}/{k2}"].detach().numpy(),
+                    atol=1e-6, rtol=1e-5,
+                    err_msg=f"{k1}/{k2} nesterov={nesterov}")
+
+
+# ============================================================ ResNet/FrozenBN
+class _TorchFrozenBN(torch.nn.Module):
+    """d2 FrozenBatchNorm2d: y = x * w/sqrt(var+eps) + (b - mean*scale)."""
+
+    def __init__(self, n, eps=1e-5):
+        super().__init__()
+        self.register_buffer("weight", torch.randn(n))
+        self.register_buffer("bias", torch.randn(n))
+        self.register_buffer("running_mean", torch.randn(n) * 0.1)
+        self.register_buffer("running_var", torch.rand(n) + 0.5)
+        self.eps = eps
+
+    def forward(self, x):
+        scale = self.weight * (self.running_var + self.eps).rsqrt()
+        shift = self.bias - self.running_mean * scale
+        return x * scale[None, :, None, None] + shift[None, :, None, None]
+
+
+class _TorchBottleneck(torch.nn.Module):
+    """d2 BottleneckBlock with stride_in_1x1=True (Caffe convention)."""
+
+    def __init__(self, cin, cmid, cout, stride, shortcut):
+        super().__init__()
+        self.conv1 = torch.nn.Conv2d(cin, cmid, 1, stride, 0, bias=False)
+        self.conv1_norm = _TorchFrozenBN(cmid)
+        self.conv2 = torch.nn.Conv2d(cmid, cmid, 3, 1, 1, bias=False)
+        self.conv2_norm = _TorchFrozenBN(cmid)
+        self.conv3 = torch.nn.Conv2d(cmid, cout, 1, 1, 0, bias=False)
+        self.conv3_norm = _TorchFrozenBN(cout)
+        self.shortcut = None
+        if shortcut:
+            self.shortcut = torch.nn.Conv2d(cin, cout, 1, stride, 0,
+                                            bias=False)
+            self.shortcut_norm = _TorchFrozenBN(cout)
+
+    def forward(self, x):
+        out = torch.relu(self.conv1_norm(self.conv1(x)))
+        out = torch.relu(self.conv2_norm(self.conv2(out)))
+        out = self.conv3_norm(self.conv3(out))
+        sc = self.shortcut_norm(self.shortcut(x)) if self.shortcut \
+            else x
+        return torch.relu(out + sc)
+
+
+class _TorchC4Trunk(torch.nn.Module):
+    """stem + res2 (2 blocks) + res3 (2 blocks), d2 conventions, small
+    channels — enough to cover stride placement, shortcut, maxpool."""
+
+    def __init__(self):
+        super().__init__()
+        self.stem_conv1 = torch.nn.Conv2d(3, 8, 7, 2, 3, bias=False)
+        self.stem_norm = _TorchFrozenBN(8)
+        self.res2 = torch.nn.ModuleList([
+            _TorchBottleneck(8, 4, 16, 1, True),
+            _TorchBottleneck(16, 4, 16, 1, False)])
+        self.res3 = torch.nn.ModuleList([
+            _TorchBottleneck(16, 8, 32, 2, True),
+            _TorchBottleneck(32, 8, 32, 1, False)])
+
+    def forward(self, x):
+        x = torch.relu(self.stem_norm(self.stem_conv1(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        for b in self.res2:
+            x = b(x)
+        for b in self.res3:
+            x = b(x)
+        return x
+
+
+def test_resnet_frozen_bn_stage_matches_torch():
+    """Flax stem+res2+res3 vs the torch d2-convention build with the
+    same weights, transplanted through convert_d2_state_dict — de-risks
+    stride_in_1x1 placement, FrozenBN math, pad/maxpool conventions
+    (SURVEY §7(f))."""
+    from flax import linen as nn
+    from locov_tpu.models.resnet import (BottleneckBlock, FrozenBatchNorm,
+                                         ResNetStage, ResNetStem)
+
+    tm = _TorchC4Trunk().eval()
+
+    class FlaxTrunk(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = ResNetStem(out_channels=8, name="stem")(x)
+            x = ResNetStage(num_blocks=2, bottleneck_channels=4,
+                            out_channels=16, first_stride=1,
+                            name="res2")(x)
+            x = ResNetStage(num_blocks=2, bottleneck_channels=8,
+                            out_channels=32, first_stride=2,
+                            name="res3")(x)
+            return x
+
+    # torch state under d2 names -> our flat naming
+    state = {}
+    sd = tm.state_dict()
+    state["backbone.stem.conv1.weight"] = sd["stem_conv1.weight"].numpy()
+    for leaf in ["weight", "bias", "running_mean", "running_var"]:
+        state[f"backbone.stem.conv1.norm.{leaf}"] = \
+            sd[f"stem_norm.{leaf}"].numpy()
+    for stage in ["res2", "res3"]:
+        for b in range(2):
+            pre = f"{stage}.{b}."
+            for conv in ["conv1", "conv2", "conv3"]:
+                state[f"backbone.{stage}.{b}.{conv}.weight"] = \
+                    sd[pre + f"{conv}.weight"].numpy()
+                for leaf in ["weight", "bias", "running_mean",
+                             "running_var"]:
+                    state[f"backbone.{stage}.{b}.{conv}.norm.{leaf}"] = \
+                        sd[pre + f"{conv}_norm.{leaf}"].numpy()
+            if b == 0:
+                state[f"backbone.{stage}.0.shortcut.weight"] = \
+                    sd[pre + "shortcut.weight"].numpy()
+                for leaf in ["weight", "bias", "running_mean",
+                             "running_var"]:
+                    state[f"backbone.{stage}.0.shortcut.norm.{leaf}"] = \
+                        sd[pre + f"shortcut_norm.{leaf}"].numpy()
+    converted = {k[len("backbone/"):]: v for k, v in
+                 convert_d2_state_dict(state).items()}
+
+    model = FlaxTrunk()
+    x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    flat = flatten_params(params["params"])
+    missing = [k for k in flat if k not in converted]
+    assert not missing, f"transplant gaps: {missing}"
+    params = {"params": unflatten_params(
+        {k: converted[k].astype(np.float32) for k in flat})}
+
+    with jax.default_matmul_precision("highest"):
+        ours = model.apply(params, jnp.asarray(x))  # NHWC
+    with torch.no_grad():
+        theirs = tm(torch.from_numpy(
+            x.transpose(0, 3, 1, 2).copy())).numpy()  # NCHW
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), theirs,
+        atol=1e-4, rtol=1e-4)
+
+
+# ================================================================= ROIAlign
+def _torch_roi_align_ref(feat, boxes, scale, pooled, ratio):
+    """ROIAlignV2 (aligned=True) reference built on torch's own
+    bilinear sampler: torchvision's border rule (outside [-1, dim] ->
+    0, else clamp to [0, dim-1]) applied to explicit sample coords,
+    interpolation done by grid_sample(align_corners=True) on the
+    clamped coordinates. feat: [C, H, W] torch; boxes: [N, 4] numpy."""
+    C, H, W = feat.shape
+    N = boxes.shape[0]
+    out = torch.zeros(N, C, pooled, pooled)
+    for n in range(N):
+        x1, y1, x2, y2 = boxes[n] * scale
+        x1, y1 = x1 - 0.5, y1 - 0.5
+        x2, y2 = x2 - 0.5, y2 - 0.5
+        bw = (x2 - x1) / pooled
+        bh = (y2 - y1) / pooled
+        ys = y1 + (np.arange(pooled)[:, None] +
+                   (np.arange(ratio)[None, :] + 0.5) / ratio) * bh
+        xs = x1 + (np.arange(pooled)[:, None] +
+                   (np.arange(ratio)[None, :] + 0.5) / ratio) * bw
+        ys = ys.reshape(-1)  # [P*S]
+        xs = xs.reshape(-1)
+        yv = np.broadcast_to(ys[:, None], (ys.size, xs.size))
+        xv = np.broadcast_to(xs[None, :], (ys.size, xs.size))
+        valid = ((yv >= -1.0) & (yv <= H) & (xv >= -1.0) & (xv <= W))
+        yc = np.clip(yv, 0, H - 1)
+        xc = np.clip(xv, 0, W - 1)
+        # normalized grid for align_corners=True: g = 2*c/(dim-1) - 1
+        gy = 2.0 * yc / (H - 1) - 1.0 if H > 1 else np.zeros_like(yc)
+        gx = 2.0 * xc / (W - 1) - 1.0 if W > 1 else np.zeros_like(xc)
+        grid = torch.from_numpy(
+            np.stack([gx, gy], axis=-1)[None].astype(np.float32))
+        samp = torch.nn.functional.grid_sample(
+            feat[None].float(), grid, mode="bilinear",
+            padding_mode="border", align_corners=True)[0]  # [C, PS, PS]
+        samp = samp * torch.from_numpy(valid.astype(np.float32))
+        samp = samp.reshape(C, pooled, ratio, pooled, ratio)
+        out[n] = samp.mean(dim=(2, 4))
+    return out.numpy()
+
+
+def test_roi_align_matches_torch_grid_sample():
+    from locov_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(4)
+    H, W, C = 24, 20, 5
+    feat = rng.randn(H, W, C).astype(np.float32)
+    boxes = np.array([
+        [4.0, 4.0, 60.0, 48.0],
+        [0.0, 0.0, 8.0, 8.0],
+        [-6.0, -6.0, 30.0, 30.0],       # clips past the border
+        [70.0, 60.0, 95.0, 90.0],       # right/bottom edge
+        [10.0, 10.0, 10.5, 11.0],       # tiny box
+        [0.0, 0.0, 96.0, 80.0],         # whole image
+    ], np.float32)
+    scale, pooled, ratio = 0.25, 7, 2
+
+    with jax.default_matmul_precision("highest"):
+        ours = roi_align(jnp.asarray(feat), jnp.asarray(boxes), scale,
+                         pooled=pooled, sampling_ratio=ratio)
+    theirs = _torch_roi_align_ref(
+        torch.from_numpy(feat.transpose(2, 0, 1).copy()), boxes, scale,
+        pooled, ratio)
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), theirs,
+        atol=1e-5, rtol=1e-5)
