@@ -431,7 +431,7 @@ class OVRTrainer:
             if etype != "ovr":
                 det = inference_on_detection_dataset(
                     eval_step, self.params, loader, class_emb,
-                    dataset_name)
+                    dataset_name, etype=etype)
                 res.update(det)
             results[dataset_name] = res
             logger.info("Results for %s: %s", dataset_name,

@@ -154,14 +154,22 @@ class COCOEvaluatorTPU:
 
     def __init__(self, gts: List[dict], image_ids: Sequence,
                  category_ids: Sequence,
-                 class_names: Optional[List[str]] = None):
+                 class_names: Optional[List[str]] = None,
+                 max_dets: Sequence[int] = MAX_DETS):
         self.image_ids = list(image_ids)
         self.cat_ids = list(category_ids)
         self.class_names = class_names
+        self.max_dets = tuple(max_dets)
         self._gts = defaultdict(list)
         for g in gts:
             self._gts[(g["image_id"], g["category_id"])].append(g)
         self._dts = defaultdict(list)
+
+    def _ignore_unmatched_dts(self, img_id, cat_id) -> bool:
+        """Hook: when True, unmatched detections in this (image,
+        category) cell are ignored rather than counted as FP (the LVIS
+        not-exhaustive rule). COCO never ignores."""
+        return False
 
     def reset(self):
         self._dts = defaultdict(list)
@@ -198,6 +206,11 @@ class COCOEvaluatorTPU:
         d_scores = np.array([dts[i]["score"] for i in order], np.float64)
         d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * \
             (d_boxes[:, 3] - d_boxes[:, 1])
+        if self._ignore_unmatched_dts(img_id, cat_id):
+            # area -1 falls outside every range, which is exactly the
+            # "ignore if unmatched" predicate of the matcher (matched
+            # dts never consult d_area)
+            d_area = np.full_like(d_area, -1.0)
 
         rngs = np.array(list(AREA_RNGS.values()))
         lo, hi = rngs[:, 0], rngs[:, 1]
@@ -212,12 +225,12 @@ class COCOEvaluatorTPU:
     def accumulate(self) -> Dict[str, np.ndarray]:
         K = len(self.cat_ids)
         A = len(AREA_RNGS)
-        M = len(MAX_DETS)
+        M = len(self.max_dets)
         T = len(IOU_THRS)
         R = len(REC_THRS)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
-        max_det = max(MAX_DETS)
+        max_det = max(self.max_dets)
 
         for ki, cat in enumerate(self.cat_ids):
             cells = [self._eval_cell(img, cat, max_det)
@@ -225,7 +238,7 @@ class COCOEvaluatorTPU:
             cells = [c for c in cells if c is not None]
             if not cells:
                 continue
-            for mi, md in enumerate(MAX_DETS):
+            for mi, md in enumerate(self.max_dets):
                 scores = np.concatenate(
                     [c["scores"][:md] for c in cells])
                 order = np.argsort(-scores, kind="mergesort")
@@ -265,9 +278,9 @@ class COCOEvaluatorTPU:
         p = acc["precision"]
         r = acc["recall"]
 
-        def ap(iou=None, area="all", max_det=100):
+        def ap(iou=None, area="all", max_det=None):
             ai = list(AREA_RNGS).index(area)
-            mi = MAX_DETS.index(max_det)
+            mi = self.max_dets.index(max_det or max(self.max_dets))
             s = p[:, :, :, ai, mi]
             if iou is not None:
                 ti = int(np.where(np.isclose(IOU_THRS, iou))[0][0])
@@ -275,9 +288,9 @@ class COCOEvaluatorTPU:
             s = s[s > -1]
             return float(s.mean()) if s.size else float("nan")
 
-        def ar(area="all", max_det=100):
+        def ar(area="all", max_det=None):
             ai = list(AREA_RNGS).index(area)
-            mi = MAX_DETS.index(max_det)
+            mi = self.max_dets.index(max_det or max(self.max_dets))
             s = r[:, :, ai, mi]
             s = s[s > -1]
             return float(s.mean()) if s.size else float("nan")
@@ -292,7 +305,7 @@ class COCOEvaluatorTPU:
         }
         if per_category and self.class_names:
             ai = list(AREA_RNGS).index("all")
-            mi = MAX_DETS.index(100)
+            mi = self.max_dets.index(max(self.max_dets))
             for ki, name in enumerate(self.class_names):
                 s = p[:, :, ki, ai, mi]
                 s = s[s > -1]

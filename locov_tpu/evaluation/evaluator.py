@@ -64,13 +64,52 @@ def select_evaluator_type(cfg, dataset_name: str) -> str:
     return etype
 
 
+def gather_host_detections(arrays: Dict[str, np.ndarray]
+                           ) -> Dict[str, np.ndarray]:
+    """Concatenate per-host detection arrays across JAX processes.
+
+    The reference merges predictions with ``comm.gather`` inside d2's
+    ``inference_on_dataset`` (SURVEY §3.3); here every host
+    all-gathers the others' rows (pad-to-max then trim, since
+    ``process_allgather`` needs equal shapes) so each host computes
+    identical global metrics. Single-process: identity."""
+    if jax.process_count() == 1:
+        return arrays
+    from jax.experimental import multihost_utils as mhu
+    n_local = len(next(iter(arrays.values())))
+    counts = np.asarray(mhu.process_allgather(
+        np.asarray([n_local], np.int64))).reshape(-1)
+    n_max = int(counts.max())
+    out = {}
+    for k, v in arrays.items():
+        pad_shape = (n_max - n_local,) + v.shape[1:]
+        padded = np.concatenate(
+            [v, np.zeros(pad_shape, v.dtype)]) if n_max > n_local else v
+        gathered = np.asarray(mhu.process_allgather(padded))
+        gathered = gathered.reshape((len(counts), n_max) + v.shape[1:])
+        out[k] = np.concatenate(
+            [gathered[h, :counts[h]] for h in range(len(counts))])
+    return out
+
+
 def inference_on_detection_dataset(eval_step, params, loader, class_emb,
                                    dataset_name: str,
-                                   per_category: bool = True
+                                   per_category: bool = True,
+                                   etype: str = None,
+                                   gather_fn=gather_host_detections
                                    ) -> Dict[str, float]:
-    """Run jitted inference over the loader, accumulate COCO metrics."""
-    evaluator = build_coco_evaluator(dataset_name)
+    """Run jitted inference over the loader, merge detections across
+    hosts, accumulate COCO or LVIS metrics (protocol chosen like the
+    reference's evaluator dispatch, evaluator.py:44-50)."""
     meta = MetadataCatalog.get(dataset_name)
+    if etype is None:
+        etype = getattr(meta, "evaluator_type",
+                        "lvis" if "lvis" in dataset_name else "coco")
+    if etype.endswith("lvis"):
+        from .lvis_eval import build_lvis_evaluator
+        evaluator = build_lvis_evaluator(dataset_name)
+    else:
+        evaluator = build_coco_evaluator(dataset_name)
     id_map = meta.thing_dataset_id_to_contiguous_id
     inv = np.zeros(max(id_map.values()) + 1, np.int64)
     for did, cid in id_map.items():
@@ -81,6 +120,7 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
     start = time.perf_counter()
     compute_time = 0.0
     n_timed = 0
+    d_imgs, d_boxes, d_scores, d_classes = [], [], [], []
     for idx, batch in enumerate(loader):
         t0 = time.perf_counter()
         dets = eval_step(params, batch, class_emb)
@@ -95,12 +135,35 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
             m = dets.mask[i]
             if not m.any():
                 continue
-            evaluator.process(int(img_id), dets.boxes[i][m],
-                              dets.scores[i][m],
-                              inv[dets.classes[i][m]])
+            d_imgs.append(np.full(int(m.sum()), int(img_id), np.int64))
+            d_boxes.append(dets.boxes[i][m].astype(np.float64))
+            d_scores.append(dets.scores[i][m].astype(np.float64))
+            d_classes.append(inv[dets.classes[i][m]])
         if idx == num_warmup:
             compute_time = 0.0
             start = time.perf_counter()
+
+    flat = {
+        "img": (np.concatenate(d_imgs) if d_imgs
+                else np.zeros(0, np.int64)),
+        "box": (np.concatenate(d_boxes) if d_boxes
+                else np.zeros((0, 4), np.float64)),
+        "score": (np.concatenate(d_scores) if d_scores
+                  else np.zeros(0, np.float64)),
+        "cls": (np.concatenate(d_classes) if d_classes
+                else np.zeros(0, np.int64)),
+    }
+    flat = gather_fn(flat)
+    # re-group per image: the evaluator's per-image detections cap
+    # (LVIS maxDets=300) needs whole-image groups
+    order = np.argsort(flat["img"], kind="mergesort")
+    imgs_sorted = flat["img"][order]
+    bounds = np.flatnonzero(np.diff(imgs_sorted)) + 1
+    for grp in np.split(order, bounds):
+        if len(grp):
+            evaluator.process(int(flat["img"][grp[0]]),
+                              flat["box"][grp], flat["score"][grp],
+                              flat["cls"][grp])
 
     elapsed = time.perf_counter() - start
     denom = max(n_timed, 1)
@@ -158,6 +221,17 @@ def inference_on_caption_dataset(loss_step, params, loader, class_emb,
     logger.info("Loss-eval time: %s (%.4f s/batch compute)",
                 datetime.timedelta(seconds=int(elapsed)),
                 compute / max(n - num_warmup, 1))
+    # weight the averages by per-host batch counts (reference:
+    # comm.gather-based metric merge); identity when single-process
+    if jax.process_count() > 1 and totals:
+        from jax.experimental import multihost_utils as mhu
+        keys = sorted(totals)
+        vec = np.asarray([totals[k] for k in keys] + [float(n)],
+                         np.float64)
+        summed = np.asarray(mhu.process_allgather(vec)).reshape(
+            jax.process_count(), -1).sum(axis=0)
+        totals = dict(zip(keys, summed[:-1]))
+        n = int(summed[-1])
     avg = {k: v / max(n, 1) for k, v in totals.items()}
     losses = {k: v for k, v in avg.items() if "loss" in k.lower()}
     metrics = {k: v for k, v in avg.items() if "loss" not in k.lower()}

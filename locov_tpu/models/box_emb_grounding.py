@@ -111,9 +111,12 @@ class EmbeddingGroundingBoxPredictor(nn.Module):
         emb = nn.Dense(self.emb_dim,
                        kernel_init=nn.initializers.normal(0.01),
                        name="emb_pred")(cls_in)
+        lead = emb.shape[:-1]
         scores = grounding_class_scores(
-            emb, class_tokens, self.local_metric, self.alignment,
-            self.temperature, self.normalize_emb)
+            emb.reshape(-1, emb.shape[-1]), class_tokens,
+            self.local_metric, self.alignment, self.temperature,
+            self.normalize_emb)
+        scores = scores.reshape(lead + scores.shape[-1:])
         if self.detach_cls_predictor:
             scores = jax.lax.stop_gradient(scores)
         return scores, deltas

@@ -45,10 +45,23 @@ class BoxPredictorConfig(NamedTuple):
     test_topk_per_image: int
     # static cap on (box, class) candidates entering NMS at inference
     test_nms_candidates: int = 4096
+    # predictor selection (reference build_box_predictor,
+    # box_emb_head.py:239-249) + grounding-classifier options
+    # (box_emb_grounding_head.py:353-360)
+    name: str = ""
+    grounding_local_metric: str = "dot"
+    grounding_alignment: str = "softmax"
+    grounding_temperature: float = 10.0
 
     @classmethod
     def from_cfg(cls, cfg):
         return cls(
+            name=cfg.MODEL.ROI_BOX_HEAD.NAME,
+            grounding_local_metric=cfg.MODEL.MMSS_HEAD.GROUNDING
+            .LOCAL_METRIC,
+            grounding_alignment=cfg.MODEL.MMSS_HEAD.GROUNDING.ALIGNMENT,
+            grounding_temperature=cfg.MODEL.MMSS_HEAD.GROUNDING
+            .ALIGNMENT_TEMPERATURE,
             num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
             emb_dim=cfg.MODEL.ROI_BOX_HEAD.EMB_DIM,
             embedding_based=cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED,

@@ -121,7 +121,20 @@ class Res5ROIHeads(nn.Module):
             bottleneck_channels=self.num_groups * self.width_per_group * 8,
             out_channels=self.res2_out_channels * 8,
             first_stride=2, stride_in_1x1=self.stride_in_1x1)
-        self.box_predictor = EmbeddingBoxPredictor(self.pcfg)
+        # predictor selection by MODEL.ROI_BOX_HEAD.NAME (reference
+        # build_box_predictor, box_emb_head.py:239-249); the grounding
+        # variant scores classes by multi-token alignment
+        if self.pcfg.name == "EmbeddingGroundingFastRCNNOutputLayers":
+            from .box_emb_grounding import EmbeddingGroundingBoxPredictor
+            self.box_predictor = EmbeddingGroundingBoxPredictor(
+                emb_dim=self.pcfg.emb_dim,
+                local_metric=self.pcfg.grounding_local_metric,
+                alignment=self.pcfg.grounding_alignment,
+                temperature=self.pcfg.grounding_temperature,
+                normalize_emb=self.pcfg.normalize_emb,
+                detach_cls_predictor=self.pcfg.detach_cls_predictor)
+        else:
+            self.box_predictor = EmbeddingBoxPredictor(self.pcfg)
 
     def roi_features(self, features: jnp.ndarray, boxes: jnp.ndarray
                      ) -> jnp.ndarray:
@@ -154,7 +167,18 @@ class Res5ROIHeads(nn.Module):
         path)."""
         return self.res5(features)
 
-    def predict(self, box_features: jnp.ndarray, class_emb: jnp.ndarray):
+    def predict(self, box_features: jnp.ndarray, class_emb):
+        """class_emb: [K+1, D] matrix, or ClassTokenEmbeddings
+        ([K+1, T, D] + mask) when the grounding predictor is selected
+        and class names tokenize to several BERT tokens."""
+        if self.pcfg.name == "EmbeddingGroundingFastRCNNOutputLayers":
+            from .box_emb_grounding import ClassTokenEmbeddings
+            if not isinstance(class_emb, ClassTokenEmbeddings):
+                class_emb = ClassTokenEmbeddings(
+                    tokens=class_emb[:, None, :],
+                    mask=jnp.ones(class_emb.shape[:1] + (1,),
+                                  class_emb.dtype))
+            return self.box_predictor(box_features, class_emb)
         return self.box_predictor(box_features, class_emb)
 
     def __call__(self, features, boxes, class_emb):

@@ -114,19 +114,32 @@ def make_micro_coco(root: str, n_train: int = 8, n_val: int = 4,
         {"id": 2, "synonyms": ["dog"], "frequency": "c"},
         {"id": 3, "synonyms": ["car"], "frequency": "r"},
     ]
-    def lvis_images(images, split):
-        return [{"id": im["id"], "height": im["height"],
-                 "width": im["width"],
-                 "coco_url": f"http://images.cocodataset.org/"
-                             f"{split}2017/{im['file_name']}",
-                 "neg_category_ids": [],
-                 "not_exhaustive_category_ids": []}
-                for im in images]
+    def lvis_images(images, split, anns):
+        """Federated-dataset knowledge sets: each image verifies one
+        absent category as negative and flags its first gt category as
+        not-exhaustively annotated on every other image."""
+        by_img = {}
+        for a in anns:
+            by_img.setdefault(a["image_id"], []).append(a["category_id"])
+        out = []
+        for j, im in enumerate(images):
+            present = sorted(set(by_img.get(im["id"], [])))
+            absent = [c["id"] for c in lvis_cats
+                      if c["id"] not in present]
+            out.append({
+                "id": im["id"], "height": im["height"],
+                "width": im["width"],
+                "coco_url": f"http://images.cocodataset.org/"
+                            f"{split}2017/{im['file_name']}",
+                "neg_category_ids": absent[:1],
+                "not_exhaustive_category_ids":
+                    present[:1] if j % 2 else []})
+        return out
     for split, ims, anns in [("train", tr_im, tr_an),
                              ("val", va_im, va_an)]:
         with open(os.path.join(lvis_dir,
                                f"lvis_v1_{split}.json"), "w") as f:
-            json.dump({"images": lvis_images(ims, split),
+            json.dump({"images": lvis_images(ims, split, anns),
                        "annotations": anns,
                        "categories": lvis_cats}, f)
     with open(os.path.join(dd, "embeddings",
