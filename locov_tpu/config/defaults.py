@@ -297,6 +297,10 @@ def get_default_cfg() -> CN:
     _C.TEST.DETECTIONS_PER_IMAGE = 100
     _C.TEST.AUG = CN()
     _C.TEST.AUG.ENABLED = False
+    _C.TEST.AUG.MIN_SIZES = (400, 500, 600, 700, 800, 900, 1000, 1100,
+                             1200)
+    _C.TEST.AUG.MAX_SIZE = 4000
+    _C.TEST.AUG.FLIP = True
     _C.TEST.PRECISE_BN = CN()
     _C.TEST.PRECISE_BN.ENABLED = False
     _C.TEST.PRECISE_BN.NUM_ITER = 200

@@ -189,7 +189,9 @@ class DetectionMapper:
         boxes = Tr.resize_boxes(boxes, (ih, iw), (nh, nw))
 
         flipped = False
-        if self.flip_mode == "horizontal" and rng.random() < 0.5:
+        if self.flip_mode == "horizontal_always" or (
+                self.flip_mode == "horizontal" and rng.random() < 0.5):
+            # "_always" is the deterministic TTA flip (evaluation/tta.py)
             image_r = Tr.hflip_image(image_r)
             boxes = Tr.hflip_boxes(boxes, nw)
             flipped = True

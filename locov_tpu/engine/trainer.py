@@ -429,9 +429,19 @@ class OVRTrainer:
                 res.update(metrics)
                 res.update(losses)
             if etype != "ovr":
-                det = inference_on_detection_dataset(
-                    eval_step, self.params, loader, class_emb,
-                    dataset_name, etype=etype)
+                if cfg.TEST.AUG.ENABLED:
+                    from ..evaluation.tta import (build_tta_loaders,
+                                                  inference_with_tta)
+                    det = inference_with_tta(
+                        eval_step, self.params,
+                        build_tta_loaders(self, cfg, dataset_name),
+                        class_emb, dataset_name,
+                        cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+                        cfg.TEST.DETECTIONS_PER_IMAGE, etype=etype)
+                else:
+                    det = inference_on_detection_dataset(
+                        eval_step, self.params, loader, class_emb,
+                        dataset_name, etype=etype)
                 res.update(det)
             results[dataset_name] = res
             logger.info("Results for %s: %s", dataset_name,

@@ -92,41 +92,22 @@ def gather_host_detections(arrays: Dict[str, np.ndarray]
     return out
 
 
-def inference_on_detection_dataset(eval_step, params, loader, class_emb,
-                                   dataset_name: str,
-                                   per_category: bool = True,
-                                   etype: str = None,
-                                   gather_fn=gather_host_detections
-                                   ) -> Dict[str, float]:
-    """Run jitted inference over the loader, merge detections across
-    hosts, accumulate COCO or LVIS metrics (protocol chosen like the
-    reference's evaluator dispatch, evaluator.py:44-50)."""
-    meta = MetadataCatalog.get(dataset_name)
-    if etype is None:
-        etype = getattr(meta, "evaluator_type",
-                        "lvis" if "lvis" in dataset_name else "coco")
-    if etype.endswith("lvis"):
-        from .lvis_eval import build_lvis_evaluator
-        evaluator = build_lvis_evaluator(dataset_name)
-    else:
-        evaluator = build_coco_evaluator(dataset_name)
-    id_map = meta.thing_dataset_id_to_contiguous_id
-    inv = np.zeros(max(id_map.values()) + 1, np.int64)
-    for did, cid in id_map.items():
-        inv[cid] = did
-
+def collect_detections(eval_step, params, loader, class_emb,
+                       inv: np.ndarray, mirror_x: bool = False):
+    """Run the jitted inference step over a loader and return flat
+    per-detection arrays {img, box, score, cls} (dataset-id classes)
+    plus (n_timed, timing_start). mirror_x flips boxes back to the
+    unflipped frame (TTA)."""
     total = len(loader)
     num_warmup = min(5, total - 1)
     start = time.perf_counter()
-    compute_time = 0.0
     n_timed = 0
     d_imgs, d_boxes, d_scores, d_classes = [], [], [], []
     for idx, batch in enumerate(loader):
-        t0 = time.perf_counter()
         dets = eval_step(params, batch, class_emb)
         dets = jax.tree.map(np.asarray, jax.device_get(dets))
-        compute_time += time.perf_counter() - t0
         ids = np.asarray(batch.images.image_id)
+        orig_hw = np.asarray(batch.images.orig_hw) if mirror_x else None
         for i, img_id in enumerate(ids):
             if img_id < 0:
                 continue  # loader padding
@@ -135,12 +116,16 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
             m = dets.mask[i]
             if not m.any():
                 continue
+            boxes = dets.boxes[i][m].astype(np.float64)
+            if mirror_x:
+                w = float(orig_hw[i][1])
+                boxes = np.stack([w - boxes[:, 2], boxes[:, 1],
+                                  w - boxes[:, 0], boxes[:, 3]], axis=1)
             d_imgs.append(np.full(int(m.sum()), int(img_id), np.int64))
-            d_boxes.append(dets.boxes[i][m].astype(np.float64))
+            d_boxes.append(boxes)
             d_scores.append(dets.scores[i][m].astype(np.float64))
             d_classes.append(inv[dets.classes[i][m]])
         if idx == num_warmup:
-            compute_time = 0.0
             start = time.perf_counter()
 
     flat = {
@@ -153,9 +138,34 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
         "cls": (np.concatenate(d_classes) if d_classes
                 else np.zeros(0, np.int64)),
     }
-    flat = gather_fn(flat)
-    # re-group per image: the evaluator's per-image detections cap
-    # (LVIS maxDets=300) needs whole-image groups
+    return flat, (n_timed, start)
+
+
+def dataset_id_lut(meta) -> np.ndarray:
+    """Contiguous-id -> dataset-id lookup array."""
+    id_map = meta.thing_dataset_id_to_contiguous_id
+    inv = np.zeros(max(id_map.values()) + 1, np.int64)
+    for did, cid in id_map.items():
+        inv[cid] = did
+    return inv
+
+
+def build_evaluator_for(dataset_name: str, etype: str = None):
+    """COCO- or LVIS-protocol evaluator by type (reference dispatch,
+    evaluator.py:44-50)."""
+    meta = MetadataCatalog.get(dataset_name)
+    if etype is None:
+        etype = getattr(meta, "evaluator_type",
+                        "lvis" if "lvis" in dataset_name else "coco")
+    if etype.endswith("lvis"):
+        from .lvis_eval import build_lvis_evaluator
+        return build_lvis_evaluator(dataset_name)
+    return build_coco_evaluator(dataset_name)
+
+
+def score_detections(evaluator, flat: Dict[str, np.ndarray]) -> None:
+    """Feed flat detection arrays into an evaluator, whole images at a
+    time (the LVIS per-image maxDets cap needs complete groups)."""
     order = np.argsort(flat["img"], kind="mergesort")
     imgs_sorted = flat["img"][order]
     bounds = np.flatnonzero(np.diff(imgs_sorted)) + 1
@@ -164,6 +174,23 @@ def inference_on_detection_dataset(eval_step, params, loader, class_emb,
             evaluator.process(int(flat["img"][grp[0]]),
                               flat["box"][grp], flat["score"][grp],
                               flat["cls"][grp])
+
+
+def inference_on_detection_dataset(eval_step, params, loader, class_emb,
+                                   dataset_name: str,
+                                   per_category: bool = True,
+                                   etype: str = None,
+                                   gather_fn=gather_host_detections
+                                   ) -> Dict[str, float]:
+    """Run jitted inference over the loader, merge detections across
+    hosts, accumulate COCO or LVIS metrics (protocol chosen like the
+    reference's evaluator dispatch, evaluator.py:44-50)."""
+    meta = MetadataCatalog.get(dataset_name)
+    evaluator = build_evaluator_for(dataset_name, etype)
+    flat, (n_timed, start) = collect_detections(
+        eval_step, params, loader, class_emb, dataset_id_lut(meta))
+    flat = gather_fn(flat)
+    score_detections(evaluator, flat)
 
     elapsed = time.perf_counter() - start
     denom = max(n_timed, 1)

@@ -32,7 +32,6 @@ from .roi_align import _interp_matrix, _sample_coords
 
 H_TILE = 8
 BOX_BLOCK = 4
-BWD_BOX_BLOCK = 2
 
 
 def _kernel(f_ref, ky_ref, kx_ref, out_ref):
@@ -144,80 +143,101 @@ def _fwd(features, boxes, spatial_scale, pooled, sampling_ratio,
     return out, (ky, kx, f_proto)
 
 
-def _bwd_kernel(g_ref, ky_ref, kx_ref, df_ref):
-    """Backward: grid (B, H/H_TILE, N/BOX_BLOCK); N innermost so the
-    dF tile accumulates in VMEM while g is streamed exactly once.
+BWD_N_BLOCK = 8
+BWD_C_BLOCK = 128
 
-    g_ref:  [1, BOX_BLOCK, P, Q, C]
-    ky_ref: [1, BOX_BLOCK, H_TILE, P]
-    kx_ref: [1, BOX_BLOCK, Q, W]
-    df_ref: [1, H_TILE, W, C]
+
+def _bwd_kernel(gt_ref, kyb_ref, kx_ref, df_ref):
+    """Backward: grid (B, C/Cb, N/nb); N innermost so the FULL
+    [H, Cb, W] dF tile accumulates in VMEM while the cotangent is
+    streamed from HBM exactly once (the previous kernel re-read g once
+    per H-tile and contracted 2 boxes at a time — 7x the traffic and
+    K=28-wide matmuls). Here the accumulation matmul contracts the
+    fused (n, p) axis, nb*P = 112-wide, on the MXU.
+
+    gt_ref:  [1, nb, P, Cb, Q]  cotangent, C-major-of-Q layout
+    kyb_ref: [1, H, nb, P]
+    kx_ref:  [1, nb, Q, W]
+    df_ref:  [1, H, Cb, W]      (transposed to [H, W, C] by the caller)
     """
-    n_idx = pl.program_id(2)
+    ni = pl.program_id(2)
 
-    @pl.when(n_idx == 0)
+    @pl.when(ni == 0)
     def _():
         df_ref[...] = jnp.zeros_like(df_ref)
 
-    g = g_ref[0]      # [N, P, Q, C]
-    ky = ky_ref[0]    # [N, H_TILE, P]
-    kx = kx_ref[0]    # [N, Q, W]
-    # v[n, h, q, c] = sum_p ky[n, h, p] g[n, p, q, c]
-    v = jax.lax.dot_general(
-        ky, g, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [N, H_TILE, Q, C]
-    # df[h, w, c] += sum_{n, q} v[n, h, q, c] kx[n, q, w]
-    # accumulate box-by-box, statically unrolled (a batched
-    # [N, H, C, W] intermediate blows the VMEM budget; BOX_BLOCK tiny
-    # matmuls keep only one [H, C, W] tile live; Mosaic can't
-    # dynamic-slice vectors, so the loop must unroll)
-    contrib = jnp.zeros((v.shape[1], v.shape[3], kx.shape[2]),
-                        jnp.float32)
-    for i in range(v.shape[0]):
-        contrib += jax.lax.dot_general(
-            v[i], kx[i], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [H_TILE, C, W]
-    df_ref[...] += contrib.swapaxes(1, 2)[None]
+    gt = gt_ref[0]    # [nb, P, Cb, Q]
+    kyb = kyb_ref[0]  # [H, nb*P]  ((n, p) pre-merged in XLA)
+    kx = kx_ref[0]    # [nb, Q, W]
+    nb, p, cb, q = gt.shape
+    w = kx.shape[2]
+    # u[n, (p c), w] = sum_q gt[n, (p c), q] kx[n, q, w]
+    u = jax.lax.dot_general(
+        gt.reshape(nb, p * cb, q), kx,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [nb, P*Cb, Wp]
+    # df[h, cb, w] += sum_{(n p)} kyb[h, (n p)] u[(n p), cb, w]
+    # (major-dim reshapes only; Mosaic's matmul takes one contracting
+    # dim + multi free dims on the rhs when the minor dim is 128 —
+    # hence W padded to 128 by the caller)
+    u = u.reshape(nb, p, cb, w).reshape(nb * p, cb, w)
+    contrib = jax.lax.dot_general(
+        kyb.astype(u.dtype), u,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [H, Cb, Wp]
+    df_ref[...] += contrib[None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _backward_df(g, ky, kx, f_proto, interpret=False):
     """dF via the Pallas scatter-free backward kernel."""
-    b, hdim, wdim, cdim = (f_proto.shape[0] or g.shape[0],
-                           f_proto.shape[1], f_proto.shape[2],
-                           f_proto.shape[3])
+    hdim, wdim, cdim = (f_proto.shape[1], f_proto.shape[2],
+                        f_proto.shape[3])
     b = g.shape[0]
     pooled = g.shape[2]
-    g = _pad_to(g.astype(jnp.float32), BWD_BOX_BLOCK, 1)
-    kyp = _pad_to(ky, BWD_BOX_BLOCK, 1)
-    kxp = _pad_to(kx, BWD_BOX_BLOCK, 1)
-    # zero padded boxes' contributions
+    io_dtype = jnp.bfloat16 if f_proto.dtype == jnp.bfloat16 \
+        else jnp.float32
+    cb = min(BWD_C_BLOCK, cdim)
+    # the fused (n, p) contraction axis must block to a multiple of
+    # 128 lanes: pad P to 16 so nb * p2 = 128 exactly (zero rows of
+    # ky/g contribute nothing)
+    p2 = ((pooled + 15) // 16) * 16
+    wp = ((wdim + 127) // 128) * 128  # W on lanes: pad to 128
+    g = _pad_to(_pad_to(g.astype(io_dtype), BWD_N_BLOCK, 1), p2, 2)
+    kyp = _pad_to(_pad_to(ky, BWD_N_BLOCK, 1), p2, 2).astype(io_dtype)
+    kxp = _pad_to(_pad_to(kx, BWD_N_BLOCK, 1), wp, 3).astype(io_dtype)
     np_ = g.shape[1]
-    hp = ((hdim + H_TILE - 1) // H_TILE) * H_TILE
-    ky_t = _pad_to(kyp.swapaxes(2, 3), H_TILE, 2)  # [B, N, Hp, P]
+    hp = ((hdim + 7) // 8) * 8
+    # one-time XLA relayouts: cotangent [B,N,P,Q,C] -> [B,N,P,C,Q] so
+    # the kernel's q-contraction is over the minor axis, and ky ->
+    # [B, H, N*P2] so the fused (n, p) contraction needs no in-kernel
+    # relayout
+    gt = jnp.swapaxes(g, 3, 4)
+    kyb = _pad_to(jnp.transpose(kyp, (0, 3, 1, 2)), hp, 1)
+    kyb = kyb.reshape(b, kyb.shape[1], np_ * p2)
 
-    grid = (b, hp // H_TILE, np_ // BWD_BOX_BLOCK)
+    grid = (b, cdim // cb, np_ // BWD_N_BLOCK)
     df = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BWD_BOX_BLOCK, pooled, pooled, cdim),
-                         lambda bi, hi, ni: (bi, ni, 0, 0, 0)),
-            pl.BlockSpec((1, BWD_BOX_BLOCK, H_TILE, pooled),
-                         lambda bi, hi, ni: (bi, ni, hi, 0)),
-            pl.BlockSpec((1, BWD_BOX_BLOCK, pooled, wdim),
-                         lambda bi, hi, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, BWD_N_BLOCK, p2, cb, pooled),
+                         lambda bi, ci, ni: (bi, ni, 0, ci, 0)),
+            pl.BlockSpec((1, hp, BWD_N_BLOCK * p2),
+                         lambda bi, ci, ni: (bi, 0, ni)),
+            pl.BlockSpec((1, BWD_N_BLOCK, pooled, wp),
+                         lambda bi, ci, ni: (bi, ni, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H_TILE, wdim, cdim),
-                               lambda bi, hi, ni: (bi, hi, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hp, wdim, cdim), jnp.float32),
-        # the accumulator + double-buffered streams sit ~24KB above the
-        # default 16M scoped budget; v5e VMEM is far larger
+        out_specs=pl.BlockSpec((1, hp, cb, wp),
+                               lambda bi, ci, ni: (bi, 0, ci, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, hp, cdim, wp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
-    )(g, ky_t, kxp)
-    return df[:, :hdim].astype(f_proto.dtype)
+    )(gt, kyb, kxp)
+    # [B, H, C, Wp] -> [B, H, W, C]
+    return jnp.swapaxes(df[:, :hdim, :, :wdim], 2, 3).astype(
+        f_proto.dtype)
 
 
 def _bwd(spatial_scale, pooled, sampling_ratio, interpret, res, g):
