@@ -11,7 +11,7 @@ by ``locov_tpu/utils/checkpoint.py`` name mapping.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +31,9 @@ class BertConfig(NamedTuple):
     initializer_range: float = 0.02
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    # flax COMPUTATION dtype for the dense/attention math (params stay
+    # f32; LayerNorm/softmax accumulate f32). None = f32 exactly.
+    dtype: Any = None
 
     @classmethod
     def from_cfg_node(cls, node):
@@ -40,7 +43,7 @@ class BertConfig(NamedTuple):
 
 
 def _dense(cfg, features, name):
-    return nn.Dense(features, name=name,
+    return nn.Dense(features, name=name, dtype=cfg.dtype,
                     kernel_init=nn.initializers.normal(cfg.initializer_range))
 
 

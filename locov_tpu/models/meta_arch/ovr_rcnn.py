@@ -87,13 +87,15 @@ class OvrRCNN(nn.Module):
             self.rpn_head = RPNHead(
                 num_anchors=len(self.rpn_cfg.sizes) *
                 len(self.rpn_cfg.aspect_ratios),
-                conv_dim=self.res2_out_channels * 4)
+                conv_dim=self.res2_out_channels * 4,
+                compute_dtype=self.compute_dtype)
         self.roi_heads = Res5ROIHeads(
             rcfg=self.rcfg, pcfg=self.pcfg,
             stride_in_1x1=self.stride_in_1x1,
             res2_out_channels=self.res2_out_channels,
             num_groups=self.num_groups,
-            width_per_group=self.width_per_group)
+            width_per_group=self.width_per_group,
+            compute_dtype=self.compute_dtype)
 
     # ---------------------------------------------------------------- utils
     def preprocess(self, images: ImageBatch) -> jnp.ndarray:

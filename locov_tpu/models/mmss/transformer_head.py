@@ -45,8 +45,14 @@ class TransformerHeadConfig(NamedTuple):
     @classmethod
     def from_cfg(cls, cfg):
         t = cfg.MODEL.MMSS_HEAD.TRANSFORMER
+        import jax.numpy as jnp
+        bert = BertConfig.from_cfg_node(t.BERT_CONFIG)
+        if cfg.TPU.COMPUTE_DTYPE == "bfloat16":
+            # run the (BxB-replicated) multimodal encoder's matmuls on
+            # the bf16 MXU path; LayerNorm/softmax still accumulate f32
+            bert = bert._replace(dtype=jnp.bfloat16)
         return cls(
-            bert=BertConfig.from_cfg_node(t.BERT_CONFIG),
+            bert=bert,
             mlm=t.MASKED_LANGUAGE_MODELING,
             mlm_validation=t.MASKED_LANGUAGE_MODELING_VALIDATION,
             mvm_loss=t.MVM_LOSS,

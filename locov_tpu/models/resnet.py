@@ -51,11 +51,13 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
-def _conv(features, kernel, stride, name, use_bias=False):
-    pad = (kernel - 1) // 2
+def _conv(features, kernel, stride, name, use_bias=False, dtype=None):
+    # dtype is flax's COMPUTATION dtype: params stay f32 and are cast
+    # at use. Without it, bf16 activations x f32 params promote every
+    # conv to the 8x-slower f32 MXU path (measured in the LSM step).
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[(pad, pad), (pad, pad)], use_bias=use_bias,
-                   name=name,
+                   padding=[((kernel - 1) // 2, (kernel - 1) // 2)] * 2,
+                   use_bias=use_bias, name=name, dtype=dtype,
                    kernel_init=nn.initializers.variance_scaling(
                        2.0, "fan_out", "truncated_normal"))
 
@@ -68,23 +70,26 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     stride_in_1x1: bool = True
     has_shortcut: bool = False
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
+        dt = self.compute_dtype
 
-        out = _conv(self.bottleneck_channels, 1, s1, "conv1")(x)
+        out = _conv(self.bottleneck_channels, 1, s1, "conv1", dtype=dt)(x)
         out = FrozenBatchNorm(self.bottleneck_channels, name="conv1_norm")(out)
         out = nn.relu(out)
-        out = _conv(self.bottleneck_channels, 3, s3, "conv2")(out)
+        out = _conv(self.bottleneck_channels, 3, s3, "conv2", dtype=dt)(out)
         out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
         out = nn.relu(out)
-        out = _conv(self.out_channels, 1, 1, "conv3")(out)
+        out = _conv(self.out_channels, 1, 1, "conv3", dtype=dt)(out)
         out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
 
         if self.has_shortcut:
-            sc = _conv(self.out_channels, 1, self.stride, "shortcut")(x)
+            sc = _conv(self.out_channels, 1, self.stride, "shortcut",
+                       dtype=dt)(x)
             sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
         else:
             sc = x
@@ -98,6 +103,7 @@ class ResNetStage(nn.Module):
     out_channels: int
     first_stride: int = 2
     stride_in_1x1: bool = True
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -108,6 +114,7 @@ class ResNetStage(nn.Module):
                 stride=self.first_stride if i == 0 else 1,
                 stride_in_1x1=self.stride_in_1x1,
                 has_shortcut=(i == 0),
+                compute_dtype=self.compute_dtype,
                 name=str(i))(x)
         return x
 
@@ -115,10 +122,12 @@ class ResNetStage(nn.Module):
 class ResNetStem(nn.Module):
     """7x7/2 conv + FrozenBN + relu + 3x3/2 maxpool."""
     out_channels: int = 64
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(self.out_channels, 7, 2, "conv1")(x)
+        x = _conv(self.out_channels, 7, 2, "conv1",
+                  dtype=self.compute_dtype)(x)
         x = FrozenBatchNorm(self.out_channels, name="conv1_norm")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -148,7 +157,8 @@ class ResNetC4(nn.Module):
         x = x.astype(self.compute_dtype)
         stages = R50_STAGES if self.depth == 50 else R101_STAGES
         outputs = {}
-        x = ResNetStem(self.stem_out_channels, name="stem")(x)
+        x = ResNetStem(self.stem_out_channels,
+                       compute_dtype=self.compute_dtype, name="stem")(x)
         if "stem" in self.out_features:
             outputs["stem"] = x
         last = max((s for s in self.out_features if s != "stem"),
@@ -161,6 +171,7 @@ class ResNetC4(nn.Module):
             oc = oc * self.res2_out_channels // 256
             x = stage_cls(nblocks, bc, oc, first_stride=stride,
                           stride_in_1x1=self.stride_in_1x1,
+                          compute_dtype=self.compute_dtype,
                           name=stage)(x)
             if stage in self.out_features:
                 outputs[stage] = x
@@ -179,7 +190,8 @@ def build_res5_stage(cfg, compute_dtype=jnp.float32) -> ResNetStage:
     return ResNetStage(
         num_blocks=3, bottleneck_channels=bottleneck,
         out_channels=out_channels, first_stride=2,
-        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1, name="res5")
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        compute_dtype=compute_dtype, name="res5")
 
 
 def build_resnet_backbone(cfg, compute_dtype=jnp.float32) -> ResNetC4:

@@ -114,13 +114,15 @@ class Res5ROIHeads(nn.Module):
     res2_out_channels: int = 256
     num_groups: int = 1
     width_per_group: int = 64
+    compute_dtype: object = None
 
     def setup(self):
         self.res5 = ResNetStage(
             num_blocks=3,
             bottleneck_channels=self.num_groups * self.width_per_group * 8,
             out_channels=self.res2_out_channels * 8,
-            first_stride=2, stride_in_1x1=self.stride_in_1x1)
+            first_stride=2, stride_in_1x1=self.stride_in_1x1,
+            compute_dtype=self.compute_dtype)
         # predictor selection by MODEL.ROI_BOX_HEAD.NAME (reference
         # build_box_predictor, box_emb_head.py:239-249); the grounding
         # variant scores classes by multi-token alignment

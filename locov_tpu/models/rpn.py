@@ -57,18 +57,23 @@ class RPNHead(nn.Module):
     (d2 StandardRPNHead)."""
     num_anchors: int
     conv_dim: int
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x):
+        # computation dtype follows the trunk (params stay f32); the
+        # caller upcasts logits/deltas to f32 before losses
         t = nn.Conv(self.conv_dim, (3, 3), padding=1,
                     kernel_init=nn.initializers.normal(0.01),
-                    name="conv")(x)
+                    dtype=self.compute_dtype, name="conv")(x)
         t = nn.relu(t)
         logits = nn.Conv(self.num_anchors, (1, 1),
                          kernel_init=nn.initializers.normal(0.01),
+                         dtype=self.compute_dtype,
                          name="objectness_logits")(t)
         deltas = nn.Conv(self.num_anchors * 4, (1, 1),
                          kernel_init=nn.initializers.normal(0.01),
+                         dtype=self.compute_dtype,
                          name="anchor_deltas")(t)
         b = x.shape[0]
         return (logits.reshape(b, -1),

@@ -116,9 +116,15 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
 
     # "highest" reproduces exact f32 interpolation (golden tests, CPU
     # and import-parity paths); "default" lets the MXU run bf16 passes,
-    # ~6x faster — appropriate when the features are bf16 anyway.
+    # ~6x faster — appropriate when the features are bf16 anyway. The
+    # interpolation matrices must be cast DOWN to the feature dtype:
+    # f32 x bf16 einsums promote to f32 and put the whole op on the
+    # 8x-slower f32 MXU path (measured 45 ms/step -> ~8 ms).
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
+    if precision != "highest":
+        ky = ky.astype(features.dtype)
+        kx = kx.astype(features.dtype)
 
     def do_chunk(k):
         ky_c, kx_c = k  # [B, chunk, P, dim]
