@@ -216,6 +216,7 @@ class DistillProposalMMSSRCNN(nn.Module):
     load_emb_pred_from_mmss: bool
     compute_dtype: jnp.dtype = jnp.float32
     remat_backbone: bool = False
+    freeze_at: int = 0
     use_rpn: bool = True
     grid_mmss: bool = True  # False for DistillOnlyProposalMMSSRCNN
     lang_bert_cfg: Optional[tuple] = None  # BertConfig override (tests)
@@ -259,6 +260,7 @@ class DistillProposalMMSSRCNN(nn.Module):
             compute_dtype=dtype,
             lang_bert_cfg=tuple(_lang_bert_cfg(cfg)),
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
                      != 'PrecomputedProposals'))
         kw.update(overrides)
@@ -273,7 +275,8 @@ class DistillProposalMMSSRCNN(nn.Module):
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
             compute_dtype=self.compute_dtype,
-            remat=self.remat_backbone)
+            remat=self.remat_backbone,
+            freeze_at=self.freeze_at)
         if self.use_rpn:
             self.rpn_head = RPNHead(
                 num_anchors=len(self.rpn_cfg.sizes) *
@@ -485,6 +488,7 @@ class MMSSGridModel(nn.Module):
     distill_cfg: Optional[dict] = None
     compute_dtype: jnp.dtype = jnp.float32
     remat_backbone: bool = False
+    freeze_at: int = 0
     lang_bert_cfg: Optional[tuple] = None  # BertConfig override (tests)
 
     @classmethod
@@ -522,7 +526,8 @@ class MMSSGridModel(nn.Module):
             distill_cfg=distill_cfg,
             compute_dtype=dtype,
             lang_bert_cfg=tuple(_lang_bert_cfg(cfg)),
-            remat_backbone=cfg.TPU.REMAT_BACKBONE)
+            remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)
         kw.update(overrides)
         return cls(**kw)
 
@@ -537,7 +542,8 @@ class MMSSGridModel(nn.Module):
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
             compute_dtype=self.compute_dtype,
-            remat=self.remat_backbone)
+            remat=self.remat_backbone,
+            freeze_at=self.freeze_at)
         from ..bert import BertConfig
         from ..language import LANGUAGE_BACKBONES
         bert_cfg = (BertConfig(*self.lang_bert_cfg)

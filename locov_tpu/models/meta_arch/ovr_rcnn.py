@@ -47,6 +47,7 @@ class OvrRCNN(nn.Module):
     pcfg: BoxPredictorConfig
     compute_dtype: jnp.dtype = jnp.float32
     remat_backbone: bool = False
+    freeze_at: int = 0
     use_rpn: bool = True
 
     @classmethod
@@ -68,6 +69,7 @@ class OvrRCNN(nn.Module):
             pcfg=BoxPredictorConfig.from_cfg(cfg),
             compute_dtype=dtype,
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
+            freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
                      != 'PrecomputedProposals'))
         kw.update(overrides)
@@ -82,7 +84,8 @@ class OvrRCNN(nn.Module):
             res2_out_channels=self.res2_out_channels,
             stride_in_1x1=self.stride_in_1x1,
             compute_dtype=self.compute_dtype,
-            remat=self.remat_backbone)
+            remat=self.remat_backbone,
+            freeze_at=self.freeze_at)
         if self.use_rpn:
             self.rpn_head = RPNHead(
                 num_anchors=len(self.rpn_cfg.sizes) *

@@ -77,6 +77,28 @@ class VisualEmbedding(nn.Module):
             x, deterministic=deterministic)
 
 
+class _PairChunkEncoder(nn.Module):
+    """One chunk of the BxB pairwise joint-encoder pass, written as a
+    scannable module: carry holds the (broadcast) caption/region
+    embeddings, xs holds this chunk's pair indices. Used via
+    nn.scan + nn.share_scope so the encoder/pooler params live at the
+    SAME scope names as the unchunked path (checkpoint compatible, and
+    chunking stays a pure memory knob)."""
+    cfg: BertConfig
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        cap_e, img_e, cap_m, reg_m = carry
+        cix, iix = xs
+        tokens = jnp.concatenate([cap_e[cix], img_e[iix]], axis=1)
+        mask = jnp.concatenate([cap_m[cix], reg_m[iix]], axis=1)
+        seq = BertEncoder(self.cfg, name="encoder")(
+            tokens, mask, deterministic=self.deterministic)
+        pooled = BertPooler(self.cfg, name="pooler")(seq)
+        return carry, (seq, pooled)
+
+
 class TransformerHead(nn.Module):
     tcfg: TransformerHeadConfig
     v_dim: int
@@ -126,11 +148,21 @@ class TransformerHead(nn.Module):
                 return seq, pooled
 
             if t.pairwise_chunk and t.pairwise_chunk < b * b:
+                # sequential chunks bound peak memory of the pairwise
+                # encoder pass; params broadcast across iterations
                 nchunk = (b * b) // t.pairwise_chunk
                 ci = cap_idx.reshape(nchunk, -1)
                 ii = img_idx.reshape(nchunk, -1)
-                seq_out, pooled = jax.lax.map(
-                    lambda ab: encode_pairs(ab[0], ab[1]), (ci, ii))
+                scan_cls = nn.scan(
+                    _PairChunkEncoder,
+                    variable_broadcast="params",
+                    split_rngs={"params": False, "dropout": True},
+                    in_axes=0, out_axes=0)
+                pe = scan_cls(c, deterministic)
+                nn.share_scope(self, pe)
+                carry = (caption_emb, image_emb, caption_mask,
+                         region_mask)
+                _, (seq_out, pooled) = pe(carry, (ci, ii))
                 seq_out = seq_out.reshape((b * b,) + seq_out.shape[2:])
                 pooled = pooled.reshape(b * b, -1)
             else:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -151,6 +152,12 @@ class ResNetC4(nn.Module):
     stride_in_1x1: bool = True
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    # d2 BACKBONE.FREEZE_AT semantics: 1 freezes the stem, i >= 2
+    # freezes stages up to res{i}. Implemented as stop_gradient at the
+    # freeze boundary — optimizer masking alone still pays the full
+    # backward through the frozen stages (largest spatial dims), since
+    # pmean/clipping consume every grad leaf.
+    freeze_at: int = 0
 
     @nn.compact
     def __call__(self, x) -> Dict[str, jnp.ndarray]:
@@ -159,6 +166,8 @@ class ResNetC4(nn.Module):
         outputs = {}
         x = ResNetStem(self.stem_out_channels,
                        compute_dtype=self.compute_dtype, name="stem")(x)
+        if self.freeze_at >= 1:
+            x = jax.lax.stop_gradient(x)
         if "stem" in self.out_features:
             outputs["stem"] = x
         last = max((s for s in self.out_features if s != "stem"),
@@ -173,6 +182,8 @@ class ResNetC4(nn.Module):
                           stride_in_1x1=self.stride_in_1x1,
                           compute_dtype=self.compute_dtype,
                           name=stage)(x)
+            if self.freeze_at >= int(stage[3]):
+                x = jax.lax.stop_gradient(x)
             if stage in self.out_features:
                 outputs[stage] = x
             if stage == last:
@@ -204,4 +215,5 @@ def build_resnet_backbone(cfg, compute_dtype=jnp.float32) -> ResNetC4:
         res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         compute_dtype=compute_dtype,
-        remat=cfg.TPU.REMAT_BACKBONE)
+        remat=cfg.TPU.REMAT_BACKBONE,
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT)

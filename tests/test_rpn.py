@@ -100,3 +100,31 @@ def test_rpn_losses_no_gt_image():
         assert np.isfinite(float(v))
     # all background: box loss must be exactly 0
     assert float(losses["loss_rpn_loc"]) == 0.0
+
+
+def test_backbone_freeze_at_stops_gradients():
+    """FREEZE_AT=2 must zero grads for stem+res2 (d2 semantics) via
+    stop_gradient — not just optimizer masking, which still pays the
+    full backward through the frozen stages."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from locov_tpu.models.resnet import ResNetC4
+
+    model = ResNetC4(out_features=("res4",), freeze_at=2)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3),
+                    jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return (model.apply(p, x)["res4"] ** 2).sum()
+
+    g = jax.grad(loss)(params)["params"]
+    frozen = sum(float(jnp.abs(v).sum())
+                 for k in ("stem", "res2")
+                 for v in jax.tree.leaves(g[k]))
+    live = sum(float(jnp.abs(v).sum())
+               for k in ("res3", "res4")
+               for v in jax.tree.leaves(g[k]))
+    assert frozen == 0.0
+    assert live > 0.0

@@ -1,5 +1,6 @@
 """TransformerHead tests: shapes, finiteness, chunking equivalence."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -101,3 +102,58 @@ def test_distill_losses_match_torch_kldiv(rng):
     # T^2-scaled sums of tiny KL terms amplify f32 softmax noise; 0.2%
     # is well within cross-framework f32 tolerance here
     np.testing.assert_allclose(got, float(want), rtol=2e-3)
+
+
+def test_pairwise_chunk_matches_unchunked_under_grad():
+    """TPU.PAIRWISE_CHUNK is a pure memory knob: chunked pairwise
+    encoding must equal the unchunked pass in loss AND gradients
+    (the round-1 lax.map formulation leaked tracers under jax.grad)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from locov_tpu.models.bert import BertConfig
+    from locov_tpu.models.mmss.transformer_head import (
+        TransformerHead, TransformerHeadConfig)
+    from locov_tpu.structures.batches import (CaptionFeatures,
+                                              RegionFeatures)
+
+    B, R, W, D, V = 4, 6, 8, 16, 60
+    rng = np.random.RandomState(0)
+    bert = BertConfig(vocab_size=V, hidden_size=D, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=32,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+    caption = CaptionFeatures(
+        input_ids=jnp.asarray(rng.randint(5, V, (B, W)), jnp.int32),
+        attention_mask=jnp.ones((B, W), jnp.int32),
+        special_tokens_mask=jnp.zeros((B, W), jnp.int32),
+        target_ids=jnp.asarray(rng.randint(5, V, (B, W)), jnp.int32),
+        mlm_mask=jnp.zeros((B, W), jnp.int32),
+        encoded_tokens=jnp.asarray(rng.randn(B, W, D), jnp.float32),
+        input_embeddings=jnp.asarray(rng.randn(B, W, D), jnp.float32))
+    regions = RegionFeatures(
+        features=jnp.asarray(rng.randn(B, R, 32), jnp.float32),
+        mask=jnp.ones((B, R), jnp.float32),
+        loc=jnp.asarray(rng.rand(B, R, 2), jnp.float32))
+    word = jnp.asarray(rng.randn(V, D), jnp.float32)
+
+    outs = {}
+    for chunk in (0, 4):
+        tcfg = TransformerHeadConfig(
+            bert=bert, mlm=True, mmm_loss="cross_entropy",
+            return_dist=True, pairwise_chunk=chunk)
+        head = TransformerHead(tcfg=tcfg, v_dim=32, l_dim=D,
+                               external_projection=False)
+        params = jax.jit(head.init)(jax.random.PRNGKey(0), regions,
+                                    caption, word)
+
+        def loss(f, head=head, params=params):
+            _, losses, _ = head.apply(
+                params, regions._replace(features=f), caption, word)
+            return sum(jax.tree.leaves(losses))
+
+        outs[chunk] = (float(loss(regions.features)),
+                       np.asarray(jax.grad(loss)(regions.features)))
+    assert outs[4][0] == pytest.approx(outs[0][0], abs=1e-5)
+    np.testing.assert_allclose(outs[4][1], outs[0][1], rtol=1e-4,
+                               atol=1e-6)
