@@ -6,7 +6,7 @@ Prints ONE JSON line:
 
 Measures the REAL per-device LSM training workload from the reference
 configuration (configs/coco_lsm.yaml + d2 defaults): batch 4 per device
-(= global 32 over 8 workers), images padded to 832x1344, ResNet-50-C4 +
+(= global 32 over 8 workers), images padded to 800x1344 (the derive_buckets landscape bucket for MIN_SIZE_TRAIN 800 / MAX 1333), ResNet-50-C4 +
 RPN (12000->2000 proposals) + 200 sampled ROIs with ROIAlign/res5,
 bert-base word embeddings (768), grounding + 6L/8H transformer heads
 over <=100 regions and 70 caption tokens, all three distillation
@@ -18,7 +18,7 @@ import json
 import time
 
 
-def build_full(batch=4, height=832, width=1344, text_len=70):
+def build_full(batch=4, height=800, width=1344, text_len=70):
     import jax.numpy as jnp
     import numpy as np
     from locov_tpu.config import get_cfg

@@ -10,6 +10,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(__file__))
 from fixtures import make_micro_coco  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

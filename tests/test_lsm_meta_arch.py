@@ -10,6 +10,8 @@ from locov_tpu.models import build_meta_arch
 from locov_tpu.structures.batches import (DetectionBatch, GtBatch,
                                           ImageBatch, TextBatch)
 
+pytestmark = pytest.mark.slow
+
 TINY_LANG = (50, 16, 2, 2, 32, 0.0, 0.0, 16, 2, 0.02, 1e-12, 0)
 
 

@@ -10,6 +10,9 @@ import pytest
 sys.path.insert(0, os.path.dirname(__file__))
 from fixtures import make_micro_coco, micro_cfg  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def micro_root(tmp_path_factory):
