@@ -164,6 +164,12 @@ def build_optimizer(cfg, params,
 
     def update(grads, state, params):
         lr = schedule(state.step)
+        # torch requires_grad=False parameters produce NO gradient, so
+        # they never enter d2's gradient clipping; zero them before the
+        # clip (not only in the update mask) to match.
+        grads = jax.tree.map(
+            lambda g, tr: g if tr else jnp.zeros_like(g), grads,
+            trainable)
         if clip_cfg.ENABLED:
             if clip_cfg.CLIP_TYPE == "value":
                 cv = clip_cfg.CLIP_VALUE

@@ -35,7 +35,11 @@ STAGE_STRIDES = {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": 32}
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with permanently-frozen statistics and affine params
     (d2 FrozenBatchNorm2d). All four tensors live in 'params' so torch
-    checkpoints import 1:1; none of them ever receives gradient."""
+    checkpoints import 1:1; none of them ever receives gradient.
+
+    Standalone form kept for API/testing; the trunk itself uses the
+    folded ``_conv_frozen_bn`` path (same param tree, conv-fused math).
+    """
     features: int
     eps: float = 1e-5
 
@@ -52,15 +56,60 @@ class FrozenBatchNorm(nn.Module):
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
-def _conv(features, kernel, stride, name, use_bias=False, dtype=None):
-    # dtype is flax's COMPUTATION dtype: params stay f32 and are cast
-    # at use. Without it, bf16 activations x f32 params promote every
-    # conv to the 8x-slower f32 MXU path (measured in the LSM step).
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=[((kernel - 1) // 2, (kernel - 1) // 2)] * 2,
-                   use_bias=use_bias, name=name, dtype=dtype,
-                   kernel_init=nn.initializers.variance_scaling(
-                       2.0, "fan_out", "truncated_normal"))
+class _ConvKernel(nn.Module):
+    """Parameter holder with the exact param path of ``nn.Conv``
+    (``<name>/kernel``, HWIO) so checkpoints import unchanged."""
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.variance_scaling(
+            2.0, "fan_out", "truncated_normal"), tuple(self.shape))
+
+
+class _BNParams(nn.Module):
+    """Parameter holder matching ``FrozenBatchNorm``'s param paths."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        return (self.param("weight", nn.initializers.ones, f),
+                self.param("bias", nn.initializers.zeros, f),
+                self.param("running_mean", nn.initializers.zeros, f),
+                self.param("running_var", nn.initializers.ones, f))
+
+
+def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
+                    relu=True, eps=1e-5):
+    """conv + FrozenBN + (relu), with the BN affine folded into the
+    conv kernel: ``conv(x, w) * s + t == conv(x, w * s) + t``.
+
+    FrozenBN is frozen by definition (d2 FrozenBatchNorm2d), so its
+    scale/shift are ``stop_gradient``-ed constants: this removes the
+    per-activation multiply over the full feature map in forward AND
+    the (never-used) dscale/dshift activation-sized reductions in
+    backward — the elementwise tail was the measured bandwidth cost of
+    the trunk (PERF.md). Param tree is byte-identical to the unfused
+    ``nn.Conv`` + ``FrozenBatchNorm`` form.
+
+    ``dtype`` is the computation dtype: the fold happens in f32, then
+    one cast — params stay f32 (flax convention).
+    """
+    kern = _ConvKernel((kernel, kernel, x.shape[-1], features),
+                       name=name)()
+    w, b, m, v = _BNParams(features, name=name + "_norm")()
+    scale = jax.lax.stop_gradient(w / jnp.sqrt(v + eps))
+    shift = jax.lax.stop_gradient(b - m * scale)
+    wk = kern * scale
+    cdt = dtype or wk.dtype
+    pad = (kernel - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x.astype(cdt), wk.astype(cdt), (stride, stride),
+        [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out + shift.astype(out.dtype)
+    return nn.relu(out) if relu else out
 
 
 class BottleneckBlock(nn.Module):
@@ -79,19 +128,15 @@ class BottleneckBlock(nn.Module):
         s3 = 1 if self.stride_in_1x1 else self.stride
         dt = self.compute_dtype
 
-        out = _conv(self.bottleneck_channels, 1, s1, "conv1", dtype=dt)(x)
-        out = FrozenBatchNorm(self.bottleneck_channels, name="conv1_norm")(out)
-        out = nn.relu(out)
-        out = _conv(self.bottleneck_channels, 3, s3, "conv2", dtype=dt)(out)
-        out = FrozenBatchNorm(self.bottleneck_channels, name="conv2_norm")(out)
-        out = nn.relu(out)
-        out = _conv(self.out_channels, 1, 1, "conv3", dtype=dt)(out)
-        out = FrozenBatchNorm(self.out_channels, name="conv3_norm")(out)
-
+        out = _conv_frozen_bn(x, self.bottleneck_channels, 1, s1,
+                              "conv1", dt)
+        out = _conv_frozen_bn(out, self.bottleneck_channels, 3, s3,
+                              "conv2", dt)
+        out = _conv_frozen_bn(out, self.out_channels, 1, 1, "conv3", dt,
+                              relu=False)
         if self.has_shortcut:
-            sc = _conv(self.out_channels, 1, self.stride, "shortcut",
-                       dtype=dt)(x)
-            sc = FrozenBatchNorm(self.out_channels, name="shortcut_norm")(sc)
+            sc = _conv_frozen_bn(x, self.out_channels, 1, self.stride,
+                                 "shortcut", dt, relu=False)
         else:
             sc = x
         return nn.relu(out + sc)
@@ -127,10 +172,8 @@ class ResNetStem(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = _conv(self.out_channels, 7, 2, "conv1",
-                  dtype=self.compute_dtype)(x)
-        x = FrozenBatchNorm(self.out_channels, name="conv1_norm")(x)
-        x = nn.relu(x)
+        x = _conv_frozen_bn(x, self.out_channels, 7, 2, "conv1",
+                            self.compute_dtype)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x
 

@@ -106,7 +106,10 @@ def make_train_step(model, optimizer, mesh: Mesh,
         out_specs=(P(), P()),
         check_vma=False)
 
-    @jax.jit
+    # donate params+opt_state: the returned trees alias the input
+    # buffers (f32 params + same-size momentum are the largest live
+    # allocations) instead of being written to fresh HBM each step.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, batch, class_emb, rng):
         grads, metrics = smap(params, batch, class_emb, rng)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -127,7 +130,8 @@ def _make_global_train_step(model, optimizer, mesh: Mesh,
                       batch_sharded(mesh, axis), replicated(mesh),
                       replicated(mesh)),
         out_shardings=(replicated(mesh), replicated(mesh),
-                       replicated(mesh)))
+                       replicated(mesh)),
+        donate_argnums=(0, 1))
     def step(params, opt_state, batch, class_emb, rng):
         rng, r_drop = jax.random.split(rng)
 

@@ -58,8 +58,12 @@ def test_local_vs_global_scope_semantics():
     step_global = make_train_step(model, opt, mesh,
                                   contrastive_scope="global")
     sb = shard_batch(batch, mesh)
-    _, _, m_local = step_local(params, {}, sb, ce, key)
-    _, _, m_global = step_global(params, {}, sb, ce, key)
+    # the train step donates params/opt_state: hand each call its own
+    # copy (production code always rebinds params = step(params, ...))
+    _, _, m_local = step_local(jax.tree.map(jnp.copy, params), {}, sb,
+                               ce, key)
+    _, _, m_global = step_global(jax.tree.map(jnp.copy, params), {}, sb,
+                                 ce, key)
     # local: each device scores 1 candidate -> log_softmax of 1x1 = 0
     assert abs(float(m_local["con_loss"])) < 1e-6
     # global: 8x8 contrastive -> strictly positive loss
@@ -74,21 +78,22 @@ def test_local_grads_equal_single_device_mean():
     key = jax.random.PRNGKey(0)
     ce = jnp.zeros((1,))
     step = make_train_step(model, opt, mesh, contrastive_scope="local")
+    w_before = np.asarray(params["params"]["w"])  # step donates params
     new_params, _, metrics = step(params, {}, shard_batch(batch, mesh),
                                   ce, key)
 
     # reference computation: per-device (B=1) loss is 0 everywhere, so
     # grads must be 0 and params unchanged
     np.testing.assert_allclose(np.asarray(new_params["params"]["w"]),
-                               np.asarray(params["params"]["w"]),
-                               atol=1e-6)
+                               w_before, atol=1e-6)
 
 
 def test_global_step_updates_params():
     mesh, params, batch = _setup()
     model, opt = ToyContrastive(), _Opt()
     step = make_train_step(model, opt, mesh, contrastive_scope="global")
+    w_before = np.asarray(params["params"]["w"])  # step donates params
     new_params, _, _ = step(params, {}, shard_batch(batch, mesh),
                             jnp.zeros((1,)), jax.random.PRNGKey(0))
     assert float(jnp.abs(new_params["params"]["w"]
-                         - params["params"]["w"]).sum()) > 1e-6
+                         - jnp.asarray(w_before)).sum()) > 1e-6
