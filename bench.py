@@ -71,6 +71,92 @@ def build_full(batch=4, height=800, width=1344, text_len=70):
     return cfg, model, batch_data, class_emb
 
 
+def build_stt_eval(batch=8, height=800, width=1344):
+    """STT detection inference workload: OvrRCNN from coco_stt.yaml,
+    RPN 6000->1000 proposals, 65-class embedding classifier + per-class
+    NMS, top-100 detections (reference eval path, SURVEY §3.3)."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from locov_tpu.config import get_cfg
+    from locov_tpu.models import build_meta_arch
+    from locov_tpu.structures.batches import (DetectionBatch, GtBatch,
+                                              ImageBatch)
+
+    cfg = get_cfg()
+    path = "/root/reference/configs/coco_stt.yaml"
+    if os.path.exists(path):
+        cfg.merge_from_file(path)
+    else:
+        cfg.MODEL.META_ARCHITECTURE = "OvrRCNN"
+        cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.WEIGHTS = ""
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    model = build_meta_arch(cfg)
+
+    rng = np.random.RandomState(0)
+    b = batch
+    images = ImageBatch(
+        image=jnp.asarray(
+            rng.rand(b, height, width, 3).astype(np.float32) * 255),
+        hw=jnp.asarray(np.stack([np.full(b, 800), np.full(b, 1312)], 1)
+                       .astype(np.int32)),
+        orig_hw=jnp.asarray(np.full((b, 2), 640, np.int32)))
+    gt = GtBatch(boxes=jnp.zeros((b, 1, 4), jnp.float32),
+                 classes=jnp.zeros((b, 1), jnp.int32),
+                 mask=jnp.zeros((b, 1), bool))
+    data = DetectionBatch(images=images, gt=gt, text=None)
+    # generalized test set: 65 classes + background row
+    class_emb = jnp.asarray(rng.randn(66, 768).astype(np.float32))
+    return cfg, model, data, class_emb
+
+
+def run_stt_eval():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    from locov_tpu.parallel import get_mesh, make_eval_step, shard_batch
+
+    batch = 8
+    cfg, model, data, class_emb = build_stt_eval(batch=batch)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda d, c: model.init(jax.random.PRNGKey(0), d, c,
+                                method=model.inference)
+    )(data, class_emb)
+    mesh = get_mesh(jax.devices()[:1])
+    step = make_eval_step(model, mesh)
+    data = shard_batch(data, mesh)
+
+    dets = step(params, data, class_emb)
+    jax.block_until_ready(dets)
+    for _ in range(3):
+        dets = step(params, data, class_emb)
+    float(dets.scores.sum())
+    n_iter, reps = 10, 4
+    best_dt = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ce = class_emb
+        for _ in range(n_iter):
+            dets = step(params, data, ce)
+            # chain: feed a detection-dependent perturbation back in so
+            # the steps are sequentially dependent (axon timing rule);
+            # class_emb is tiny, so the chain op itself is free
+            ce = class_emb + dets.scores.sum() * 0.0
+        float(dets.scores.sum())
+        best_dt = min(best_dt, (time.perf_counter() - t0) / n_iter)
+    ips = batch / best_dt
+    baseline_ips = 9.3  # reference: ~10.9 img/s/GPU V100 d2 R50-C4 eval
+    print(json.dumps({
+        "metric": "stt_eval_images_per_sec_per_chip",
+        "value": round(ips, 3),
+        "unit": "img/s",
+        "vs_baseline": round(ips / baseline_ips, 3),
+    }))
+
+
 def main():
     import jax
 
@@ -129,4 +215,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--mode" in sys.argv and \
+            sys.argv[sys.argv.index("--mode") + 1] == "stt_eval":
+        run_stt_eval()
+    else:
+        main()  # default: ONE json line, LSM train throughput

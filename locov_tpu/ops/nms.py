@@ -50,12 +50,18 @@ def _pad_axis1(x, multiple, value):
 
 
 def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
-                     valid: jnp.ndarray,
-                     iou_threshold: float) -> jnp.ndarray:
+                     valid: jnp.ndarray, iou_threshold: float,
+                     stop_after: int = 0) -> jnp.ndarray:
     """Greedy NMS keep-mask over padded boxes, batched.
 
     boxes: [B, N, 4] XYXY; scores: [B, N]; valid: [B, N] bool.
     Returns keep: [B, N] bool (in the ORIGINAL order).
+
+    stop_after > 0: stop the tile sweep once every batch row has that
+    many survivors among the already-decided (higher-scoring) boxes;
+    later boxes are reported suppressed. EXACT for top-k consumers
+    (``nms_topk_batched``): greedy NMS decides boxes in score order, so
+    the first ``stop_after`` survivors are the k highest-scoring ones.
     """
     bsz, n = scores.shape
     neg_inf = jnp.finfo(scores.dtype).min
@@ -81,13 +87,19 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                                    jnp.logical_not(
                                        jnp.all(alive == prev)))
 
+        def sweep(alive):
+            suppressed = jnp.any(sup_mat & alive[:, :, None], axis=1)
+            return init_alive & ~suppressed
+
         def body(state):
             alive, _, it = state
-            suppressed = jnp.any(sup_mat & alive[:, :, None], axis=1)
-            return init_alive & ~suppressed, alive, it + 1
+            # two sweeps per trip: each [B, T, T] and-reduce is ~µs of
+            # VPU work but every while iteration pays fixed loop
+            # overhead; convergence is still detected (monotone w.r.t.
+            # the two-step map, and sweep(fixpoint) == fixpoint)
+            return sweep(sweep(alive)), alive, it + 1
 
-        first = init_alive & ~jnp.any(sup_mat & init_alive[:, :, None],
-                                      axis=1)
+        first = sweep(init_alive)
         alive, _, _ = jax.lax.while_loop(
             cond, body, (first, init_alive, jnp.int32(0)))
         return alive
@@ -108,7 +120,25 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
         return jax.lax.dynamic_update_slice_in_dim(active, tile_alive,
                                                    start, axis=1)
 
-    active = jax.lax.fori_loop(0, num_tiles, outer, valid_p)
+    if stop_after > 0:
+        pos = jnp.arange(n_pad)[None, :]
+
+        def cond(state):
+            i, active = state
+            decided = pos < i * TILE
+            cnt = jnp.sum(active & decided, axis=1)  # survivors so far
+            return (i < num_tiles) & ~jnp.all(cnt >= stop_after)
+
+        def body(state):
+            i, active = state
+            return i + 1, outer(i, active)
+
+        i_stop, active = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), valid_p))
+        # everything past the stop point is reported suppressed
+        active = active & (pos < i_stop * TILE)
+    else:
+        active = jax.lax.fori_loop(0, num_tiles, outer, valid_p)
     keep_sorted = active[:, :n]
     # scatter back to original order
     keep = jnp.zeros((bsz, n), bool)
@@ -121,8 +151,11 @@ def nms_topk_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                      valid: jnp.ndarray, iou_threshold: float,
                      max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy NMS returning the top-``max_out`` surviving indices per
-    batch row. Returns (idx [B, max_out] int32, keep_valid [B, max_out])."""
-    keep = nms_mask_batched(boxes, scores, valid, iou_threshold)
+    batch row. Returns (idx [B, max_out] int32, keep_valid [B, max_out]).
+    The tile sweep stops early once every row has max_out survivors
+    (exact — see nms_mask_batched)."""
+    keep = nms_mask_batched(boxes, scores, valid, iou_threshold,
+                            stop_after=max_out)
     neg_inf = jnp.finfo(scores.dtype).min
     kept_scores = jnp.where(keep, scores, neg_inf)
     top_scores, idx = jax.lax.top_k(kept_scores, max_out)

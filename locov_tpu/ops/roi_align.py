@@ -57,7 +57,7 @@ def _sample_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
 
 def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
                       spatial_scale: float, pooled: int = 14,
-                      sampling_ratio: int = 2, chunk: int = 32,
+                      sampling_ratio: int = 2, chunk: int = 50,
                       precision: str = "highest") -> jnp.ndarray:
     """Batched ROIAlign: features [B, H, W, C], boxes [B, N, 4] ->
     [B, N, pooled, pooled, C]. Custom VJP: XLA's transpose of the
@@ -81,7 +81,7 @@ def _roi_align_core(features, boxes, spatial_scale, pooled,
                                    "precision"))
 def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, pooled: int = 14,
-                    sampling_ratio: int = 2, chunk: int = 32,
+                    sampling_ratio: int = 2, chunk: int = 50,
                     precision: str = "highest"):
     """features [B, H, W, C], boxes [B, N, 4] ->
     ([B, N, pooled, pooled, C], (ky, kx)).
@@ -128,10 +128,14 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
 
     def do_chunk(k):
         ky_c, kx_c = k  # [B, chunk, P, dim]
-        t = jnp.einsum("bnph,bhwc->bnpwc", ky_c, features,
+        # contract W FIRST: the [B, n, Q, H, C] intermediate is H/W
+        # (~40% on landscape buckets) smaller than the W-second form's
+        # [B, n, P, W, C], and stage 2 contracts the longer axis — this
+        # pass is HBM-bound, the intermediate dominates its traffic
+        t = jnp.einsum("bnqw,bhwc->bnqhc", kx_c, features,
                        preferred_element_type=jnp.float32,
                        precision=prec)
-        return jnp.einsum("bnpwc,bnqw->bnpqc", t, kx_c,
+        return jnp.einsum("bnqhc,bnph->bnpqc", t, ky_c,
                           preferred_element_type=jnp.float32,
                           precision=prec)
 
@@ -167,11 +171,12 @@ def _roi_align_bwd(spatial_scale, pooled, sampling_ratio, chunk,
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
 
-    # re-chunk finer for the backward: every order of this triple
-    # contraction has a [B, bk, dim1, dim2, C] intermediate; keep bk
-    # small and contract the SMALL pooled axis first so the free dims
-    # are (H, Q) rather than (P, W)
-    bk = min(8, chunk)
+    # contract the SMALL pooled axis first so the [B, bk, H, Q, C]
+    # intermediate carries (H, Q) rather than (P, W); keep the chunk
+    # size — re-chunking finer multiplies the f32 dF-accumulator
+    # read+write (34 MB/iter at LSM shapes) and the while-loop
+    # overhead by the iteration count (measured: bk=8 cost 2.5x bk=32)
+    bk = chunk
     total = nchunks * chunk
     # in fast ("default") mode, stream cotangents/intermediates in bf16
     # (the accumulator stays f32) — halves the HBM traffic that
@@ -209,7 +214,7 @@ _roi_align_core.defvjp(_roi_align_fwd, _roi_align_bwd)
 
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
               spatial_scale: float, pooled: int = 14,
-              sampling_ratio: int = 2, chunk: int = 32) -> jnp.ndarray:
+              sampling_ratio: int = 2, chunk: int = 50) -> jnp.ndarray:
     """Single-image wrapper: [H, W, C], [N, 4] -> [N, P, P, C]."""
     return roi_align_batched(features[None], boxes[None], spatial_scale,
                              pooled, sampling_ratio, chunk)[0]

@@ -98,3 +98,21 @@ def test_nms_all_invalid():
     keep = np.asarray(N.nms_mask(boxes, jnp.zeros(32), jnp.zeros(32, bool),
                                  0.5))
     assert not keep.any()
+
+
+def test_nms_topk_early_stop_exact_across_tiles(rng):
+    """stop_after: the tile sweep halts once every row has max_out
+    survivors; the returned top-k must equal the untruncated NMS's
+    top-k on a box set spanning several 256-box tiles."""
+    n = 900  # 4 tiles
+    boxes, scores = _rand(rng, n)
+    valid = np.ones(n, bool)
+    full = N.nms_mask_batched(jnp.array(boxes)[None],
+                              jnp.array(scores)[None],
+                              jnp.array(valid)[None], 0.5)
+    kept_scores = np.where(np.asarray(full)[0], scores, -np.inf)
+    want = np.argsort(-kept_scores)[:20]
+    idx, ok = N.nms_topk(jnp.array(boxes), jnp.array(scores),
+                         jnp.array(valid), 0.5, 20)
+    assert np.asarray(ok).all()
+    assert np.asarray(idx).tolist() == want.tolist()
