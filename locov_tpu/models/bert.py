@@ -47,6 +47,21 @@ def _dense(cfg, features, name):
                     kernel_init=nn.initializers.normal(cfg.initializer_range))
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder with ``nn.Dense``'s exact param paths
+    (``<name>/kernel``, ``<name>/bias``) so checkpoints import
+    unchanged while the matmul itself is fused elsewhere."""
+    shape: tuple
+    init_std: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.normal(self.init_std),
+                       tuple(self.shape))
+        b = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return k, b
+
+
 class BertSelfAttention(nn.Module):
     cfg: BertConfig
 
@@ -56,9 +71,19 @@ class BertSelfAttention(nn.Module):
         h = c.hidden_size
         nh = c.num_attention_heads
         hd = h // nh
-        q = _dense(c, h, "query")(hidden)
-        k = _dense(c, h, "key")(hidden)
-        v = _dense(c, h, "value")(hidden)
+        # fused QKV: one [*, h] @ [h, 3h] matmul instead of three
+        # [h, h] ones — at the short sequences this head runs on
+        # (<=170 tokens x B*B pairs) every op pays a fixed pipeline
+        # cost, so fewer/bigger matmuls measurably beat three small
+        # ones (PERF.md). Params keep nn.Dense's query/key/value paths.
+        wq, bq = _DenseParams((h, h), c.initializer_range, name="query")()
+        wk, bk = _DenseParams((h, h), c.initializer_range, name="key")()
+        wv, bv = _DenseParams((h, h), c.initializer_range, name="value")()
+        w = jnp.concatenate([wq, wk, wv], axis=1)       # [h, 3h]
+        b = jnp.concatenate([bq, bk, bv])               # [3h]
+        dt = c.dtype or hidden.dtype
+        qkv = hidden.astype(dt) @ w.astype(dt) + b.astype(dt)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(x):
             return x.reshape(x.shape[:-1] + (nh, hd)).swapaxes(-2, -3)

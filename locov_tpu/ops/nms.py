@@ -57,11 +57,20 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
     boxes: [B, N, 4] XYXY; scores: [B, N]; valid: [B, N] bool.
     Returns keep: [B, N] bool (in the ORIGINAL order).
 
-    stop_after > 0: stop the tile sweep once every batch row has that
-    many survivors among the already-decided (higher-scoring) boxes;
-    later boxes are reported suppressed. EXACT for top-k consumers
-    (``nms_topk_batched``): greedy NMS decides boxes in score order, so
-    the first ``stop_after`` survivors are the k highest-scoring ones.
+    stop_after > 0: two changes, both EXACT for top-k consumers
+    (``nms_topk_batched``) and only for them:
+    (a) the tile sweep stops once every batch row has ``stop_after``
+        survivors among the already-decided (higher-scoring) boxes;
+        later boxes are reported suppressed;
+    (b) each tile is suppressed against a COMPACTED buffer of alive
+        earlier boxes (capacity ``stop_after`` + one tile) instead of
+        all earlier boxes — O(N * stop_after) IoU work instead of
+        O(N^2). A row that overflows the buffer may mis-decide boxes
+        AFTER its ``stop_after``-th survivor, but the first
+        ``stop_after`` survivors (the only ones top-k returns — they
+        are decided in score order, before any overflow) are always
+        exact: every drop requires >= capacity >= stop_after prior
+        insertions in that row.
     """
     bsz, n = scores.shape
     neg_inf = jnp.finfo(scores.dtype).min
@@ -122,19 +131,44 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     if stop_after > 0:
         pos = jnp.arange(n_pad)[None, :]
+        cap = min(-(-(stop_after + TILE) // TILE) * TILE, n_pad)
+        slot = jnp.arange(cap)
 
         def cond(state):
-            i, active = state
-            decided = pos < i * TILE
-            cnt = jnp.sum(active & decided, axis=1)  # survivors so far
+            i, active, surv, cnt = state
             return (i < num_tiles) & ~jnp.all(cnt >= stop_after)
 
         def body(state):
-            i, active = state
-            return i + 1, outer(i, active)
+            i, active, surv, cnt = state
+            start = i * TILE
+            tile_boxes = jax.lax.dynamic_slice_in_dim(
+                boxes_p, start, TILE, axis=1)
+            tile_init = jax.lax.dynamic_slice_in_dim(
+                active, start, TILE, axis=1)
+            iou_s = _pairwise_iou_b(tile_boxes, surv)  # [B, T, cap]
+            in_buf = slot[None, None, :] < cnt[:, None, None]
+            sup = jnp.any((iou_s > iou_threshold) & in_buf, axis=2)
+            iou_self = _pairwise_iou_b(tile_boxes, tile_boxes)
+            tile_alive = self_suppress(iou_self, tile_init & ~sup)
+            # compact-insert this tile's survivors (slots are unique,
+            # so the one-hot matmul accumulate writes each slot once)
+            csum = jnp.cumsum(tile_alive.astype(jnp.int32), axis=1)
+            dst = cnt[:, None] + csum - tile_alive
+            dst = jnp.where(tile_alive & (dst < cap), dst, cap)
+            onehot = (dst[:, :, None] == slot[None, None, :])
+            surv = surv + jnp.einsum(
+                "btc,btj->bcj", onehot.astype(boxes_p.dtype),
+                jnp.where(tile_alive[..., None], tile_boxes, 0.0))
+            cnt = jnp.minimum(cnt + csum[:, -1], cap)
+            active = jax.lax.dynamic_update_slice_in_dim(
+                active, tile_alive, start, axis=1)
+            return i + 1, active, surv, cnt
 
-        i_stop, active = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), valid_p))
+        i_stop, active, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), valid_p,
+             jnp.zeros((bsz, cap, 4), boxes_p.dtype),
+             jnp.zeros((bsz,), jnp.int32)))
         # everything past the stop point is reported suppressed
         active = active & (pos < i_stop * TILE)
     else:

@@ -57,7 +57,7 @@ def _sample_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
 
 def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
                       spatial_scale: float, pooled: int = 14,
-                      sampling_ratio: int = 2, chunk: int = 50,
+                      sampling_ratio: int = 2, chunk: int = 200,
                       precision: str = "highest") -> jnp.ndarray:
     """Batched ROIAlign: features [B, H, W, C], boxes [B, N, 4] ->
     [B, N, pooled, pooled, C]. Custom VJP: XLA's transpose of the
@@ -81,7 +81,7 @@ def _roi_align_core(features, boxes, spatial_scale, pooled,
                                    "precision"))
 def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, pooled: int = 14,
-                    sampling_ratio: int = 2, chunk: int = 50,
+                    sampling_ratio: int = 2, chunk: int = 200,
                     precision: str = "highest"):
     """features [B, H, W, C], boxes [B, N, 4] ->
     ([B, N, pooled, pooled, C], (ky, kx)).
@@ -194,18 +194,24 @@ def _roi_align_bwd(spatial_scale, pooled, sampling_ratio, chunk,
     gc = jnp.moveaxis(
         gpad.reshape(b, nck, bk, pooled, pooled, cdim), 1, 0)
 
-    def body(carry, inp):
-        ky_c, kx_c, g_c = inp  # [B, bk, P, dim] / [B, bk, P, Q, C]
+    def one_chunk(ky_c, kx_c, g_c):
+        # [B, bk, P, dim] / [B, bk, P, Q, C]
         # v[b,n,h,q,c] = sum_p ky[b,n,p,h] g[b,n,p,q,c]
         v = jnp.einsum("bnph,bnpqc->bnhqc", ky_c, g_c, precision=prec,
                        preferred_element_type=io_dtype)
         # df[b,h,w,c] += sum_{n,q} v[b,n,h,q,c] kx[b,n,q,w]
-        df = jnp.einsum("bnhqc,bnqw->bhwc", v, kx_c, precision=prec,
-                        preferred_element_type=jnp.float32)
-        return carry + df, None
+        return jnp.einsum("bnhqc,bnqw->bhwc", v, kx_c, precision=prec,
+                          preferred_element_type=jnp.float32)
 
-    zero = jnp.zeros((b, hdim, wdim, cdim), jnp.float32)
-    df, _ = jax.lax.scan(body, zero, (kyc, kxc, gc))
+    if nck == 1:
+        # single chunk: no accumulator round-trips, no loop
+        df = one_chunk(kyc[0], kxc[0], gc[0])
+    else:
+        def body(carry, inp):
+            return carry + one_chunk(*inp), None
+
+        zero = jnp.zeros((b, hdim, wdim, cdim), jnp.float32)
+        df, _ = jax.lax.scan(body, zero, (kyc, kxc, gc))
     return df.astype(f_proto.dtype), jnp.zeros((b, n, 4), jnp.float32)
 
 
@@ -214,7 +220,7 @@ _roi_align_core.defvjp(_roi_align_fwd, _roi_align_bwd)
 
 def roi_align(features: jnp.ndarray, boxes: jnp.ndarray,
               spatial_scale: float, pooled: int = 14,
-              sampling_ratio: int = 2, chunk: int = 50) -> jnp.ndarray:
+              sampling_ratio: int = 2, chunk: int = 200) -> jnp.ndarray:
     """Single-image wrapper: [H, W, C], [N, 4] -> [N, P, P, C]."""
     return roi_align_batched(features[None], boxes[None], spatial_scale,
                              pooled, sampling_ratio, chunk)[0]

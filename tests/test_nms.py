@@ -100,6 +100,31 @@ def test_nms_all_invalid():
     assert not keep.any()
 
 
+def test_nms_topk_compacted_buffer_exact(rng):
+    """The stop_after path suppresses against a compacted survivor
+    buffer. Exactness of the returned top-k across buffer-relevant
+    regimes: sparse boxes (buffer fills fast, sweep stops early),
+    clustered boxes (few survivors, sweep runs every tile), and a
+    batch row mixing both; several tiles each."""
+    for clustered, k in [(False, 12), (True, 12), (False, 300),
+                         (True, 300)]:
+        n = 1100  # 5 tiles
+        b1, s1 = _rand(rng, n, clustered=clustered)
+        b2, s2 = _rand(rng, n, clustered=not clustered)
+        boxes = np.stack([b1, b2])
+        scores = np.stack([s1, s2])
+        valid = np.ones((2, n), bool)
+        idx, ok = N.nms_topk_batched(jnp.array(boxes), jnp.array(scores),
+                                     jnp.array(valid), 0.5, k)
+        idx, ok = np.asarray(idx), np.asarray(ok)
+        for r in range(2):
+            surv = _greedy_nms_ref(boxes[r], scores[r], 0.5)
+            want = sorted(surv, key=lambda i: -scores[r][i])[:k]
+            got = idx[r][ok[r]].tolist()
+            assert got == want[:len(got)] and len(got) == len(want), \
+                f"clustered={clustered} k={k} row={r}"
+
+
 def test_nms_topk_early_stop_exact_across_tiles(rng):
     """stop_after: the tile sweep halts once every row has max_out
     survivors; the returned top-k must equal the untruncated NMS's
