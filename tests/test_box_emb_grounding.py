@@ -122,6 +122,7 @@ def grounding_stt():
     return cfg, model, batch, tokens
 
 
+@pytest.mark.slow
 def test_grounding_stt_trains(grounding_stt):
     cfg, model, batch, tokens = grounding_stt
     key = jax.random.PRNGKey(0)

@@ -44,6 +44,7 @@ def tiny_setup():
     return cfg, model, batch, class_emb
 
 
+@pytest.mark.slow
 def test_train_losses_finite_and_complete(tiny_setup):
     cfg, model, batch, class_emb = tiny_setup
     key = jax.random.PRNGKey(0)
@@ -56,6 +57,7 @@ def test_train_losses_finite_and_complete(tiny_setup):
         assert np.isfinite(float(v)), k
 
 
+@pytest.mark.slow
 def test_train_step_grads_flow(tiny_setup):
     cfg, model, batch, class_emb = tiny_setup
     key = jax.random.PRNGKey(1)

@@ -104,6 +104,7 @@ def test_distill_losses_match_torch_kldiv(rng):
     np.testing.assert_allclose(got, float(want), rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_pairwise_chunk_matches_unchunked_under_grad():
     """TPU.PAIRWISE_CHUNK is a pure memory knob: chunked pairwise
     encoding must equal the unchunked pass in loss AND gradients

@@ -156,6 +156,7 @@ def _tiny_lsm_model():
     return params
 
 
+@pytest.mark.slow
 def test_lsm_torch_names_align_with_flax_tree():
     state = _fake_torch_lsm_state()
     converted = convert_d2_state_dict(state)
