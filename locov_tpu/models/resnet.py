@@ -166,16 +166,26 @@ class ResNetStage(nn.Module):
 
 
 class ResNetStem(nn.Module):
-    """7x7/2 conv + FrozenBN + relu + 3x3/2 maxpool."""
+    """7x7/2 conv + FrozenBN + relu + 3x3/2 maxpool.
+
+    relu+maxpool run as a fused Pallas kernel pair on TPU (exact
+    forward AND backward semantics incl. tie-breaking; see
+    ``ops/pallas_pool.py``) — XLA's select-and-scatter backward plus
+    its layout copies cost ~6 ms/step at LSM stem shapes. Off-TPU or
+    on non-/16 shapes it falls back to the plain XLA lowering."""
     out_channels: int = 64
     compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         x = _conv_frozen_bn(x, self.out_channels, 7, 2, "conv1",
-                            self.compute_dtype)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
-        return x
+                            self.compute_dtype, relu=False)
+        if x.shape[1] % 16 == 0 and x.shape[2] % 2 == 0:
+            from ..ops.pallas_pool import relu_maxpool
+            return relu_maxpool(x, jax.default_backend() != "tpu")
+        x = nn.relu(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
 
 
 class ResNetC4(nn.Module):
