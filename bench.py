@@ -216,8 +216,12 @@ def main():
 
 if __name__ == "__main__":
     import sys
-    if "--mode" in sys.argv and \
-            sys.argv[sys.argv.index("--mode") + 1] == "stt_eval":
+    args = sys.argv[1:]
+    mode = None
+    if "--mode" in args:
+        i = args.index("--mode")
+        mode = args[i + 1] if i + 1 < len(args) else None
+    if mode == "stt_eval":
         run_stt_eval()
     else:
         main()  # default: ONE json line, LSM train throughput

@@ -180,7 +180,10 @@ class ResNetStem(nn.Module):
     def __call__(self, x):
         x = _conv_frozen_bn(x, self.out_channels, 7, 2, "conv1",
                             self.compute_dtype, relu=False)
-        if x.shape[1] % 16 == 0 and x.shape[2] % 2 == 0:
+        # bf16-only: the f32 backward kernel exceeds the 16 MB VMEM
+        # limit at production stem widths
+        if (x.shape[1] % 16 == 0 and x.shape[2] % 2 == 0
+                and x.dtype == jnp.bfloat16):
             from ..ops.pallas_pool import relu_maxpool
             return relu_maxpool(x, jax.default_backend() != "tpu")
         x = nn.relu(x)

@@ -156,9 +156,14 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
             dst = cnt[:, None] + csum - tile_alive
             dst = jnp.where(tile_alive & (dst < cap), dst, cap)
             onehot = (dst[:, :, None] == slot[None, None, :])
+            # HIGHEST precision is mandatory: at default (bf16 MXU)
+            # precision the buffered coordinates round to bf16 (~5 px
+            # at 1344-px scale) and near-threshold IoU decisions flip,
+            # breaking the exactness contract (confirmed on v5e)
             surv = surv + jnp.einsum(
                 "btc,btj->bcj", onehot.astype(boxes_p.dtype),
-                jnp.where(tile_alive[..., None], tile_boxes, 0.0))
+                jnp.where(tile_alive[..., None], tile_boxes, 0.0),
+                precision=jax.lax.Precision.HIGHEST)
             cnt = jnp.minimum(cnt + csum[:, -1], cap)
             active = jax.lax.dynamic_update_slice_in_dim(
                 active, tile_alive, start, axis=1)
