@@ -51,11 +51,19 @@ def _pad_axis1(x, multiple, value):
 
 def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                      valid: jnp.ndarray, iou_threshold: float,
-                     stop_after: int = 0) -> jnp.ndarray:
+                     stop_after: int = 0,
+                     classes: jnp.ndarray | None = None) -> jnp.ndarray:
     """Greedy NMS keep-mask over padded boxes, batched.
 
     boxes: [B, N, 4] XYXY; scores: [B, N]; valid: [B, N] bool.
     Returns keep: [B, N] bool (in the ORIGINAL order).
+
+    classes [B, N] int (optional): suppression only acts within a
+    class (suppression masks are ANDed with class equality). This is
+    how per-class NMS stays EXACT — torchvision's coordinate-offset
+    trick loses float32 precision at offset scale (ulp(cls*span) ~
+    5e-4 px flips near-threshold IoUs; observed on TPU at production
+    coordinate scale) and breaks outright for negative coordinates.
 
     stop_after > 0: two changes, both EXACT for top-k consumers
     (``nms_topk_batched``) and only for them:
@@ -72,6 +80,8 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
         exact: every drop requires >= capacity >= stop_after prior
         insertions in that row.
     """
+    assert classes is None or stop_after == 0, \
+        "class-aware suppression is not wired into the stop_after path"
     bsz, n = scores.shape
     neg_inf = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(valid, scores, neg_inf)
@@ -82,13 +92,17 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
 
     boxes_p = _pad_axis1(boxes_s, TILE, 0.0)
     valid_p = _pad_axis1(valid_s, TILE, False)
+    if classes is None:
+        cls_p = None
+    else:
+        cls_p = _pad_axis1(take(classes, order, axis=1), TILE, -1)
     n_pad = boxes_p.shape[1]
     num_tiles = n_pad // TILE
     tri_sup = jnp.triu(jnp.ones((TILE, TILE), bool), k=1)  # j<k: [j, k]
 
-    def self_suppress(iou_self, init_alive):
+    def self_suppress(iou_self, init_alive, same_class=True):
         """iou_self: [B, T, T]; init_alive: [B, T]."""
-        sup_mat = (iou_self > iou_threshold) & tri_sup[None]
+        sup_mat = (iou_self > iou_threshold) & tri_sup[None] & same_class
 
         def cond(state):
             alive, prev, it = state
@@ -119,13 +133,21 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                                                   axis=1)
         tile_init = jax.lax.dynamic_slice_in_dim(active, start, TILE,
                                                  axis=1)
+        cross_ok = jnp.ones((), bool)
+        self_ok = jnp.ones((), bool)
+        if cls_p is not None:
+            tile_cls = jax.lax.dynamic_slice_in_dim(cls_p, start, TILE,
+                                                    axis=1)
+            cross_ok = tile_cls[:, :, None] == cls_p[:, None, :]
+            self_ok = tile_cls[:, :, None] == tile_cls[:, None, :]
         iou_cross = _pairwise_iou_b(tile_boxes, boxes_p)  # [B, T, n_pad]
         earlier = jnp.arange(n_pad)[None, None, :] < start
-        sup = jnp.any((iou_cross > iou_threshold) & earlier
+        sup = jnp.any((iou_cross > iou_threshold) & cross_ok & earlier
                       & active[:, None, :], axis=2)
         tile_alive = tile_init & ~sup
         iou_self = _pairwise_iou_b(tile_boxes, tile_boxes)
-        tile_alive = self_suppress(iou_self, tile_alive)
+        tile_alive = self_suppress(iou_self, tile_alive,
+                                   same_class=self_ok)
         return jax.lax.dynamic_update_slice_in_dim(active, tile_alive,
                                                    start, axis=1)
 
@@ -203,12 +225,12 @@ def nms_topk_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 def batched_nms_mask_batched(boxes, scores, classes, valid,
                              iou_threshold: float) -> jnp.ndarray:
-    """Per-class NMS via the coordinate-offset trick, batched.
-    boxes [B, N, 4], classes [B, N] int."""
-    max_coord = jnp.max(jnp.where(valid[..., None], boxes, 0.0)) + 1.0
-    offsets = classes.astype(boxes.dtype) * max_coord
-    return nms_mask_batched(boxes + offsets[..., None], scores, valid,
-                            iou_threshold)
+    """Per-class NMS, batched: suppression acts only within a class.
+    boxes [B, N, 4], classes [B, N] int. Implemented by class-equality
+    masking of the suppression matrices, NOT torchvision's
+    coordinate-offset trick — see ``nms_mask_batched``."""
+    return nms_mask_batched(boxes, scores, valid, iou_threshold,
+                            classes=classes)
 
 
 # ---------------------------------------------------------------- single

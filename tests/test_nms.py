@@ -93,6 +93,20 @@ def test_batched_nms_is_per_class(rng):
         assert sorted(got) == want
 
 
+def test_batched_nms_negative_coords_keep_classes_disjoint():
+    """The bare torchvision offset trick (class * (max+1)) makes a
+    negative-coordinate box of class 1 collide with a high-coordinate
+    box of class 0; the shifted form must keep them independent."""
+    boxes = np.array([[90.0, 90.0, 100.0, 100.0],
+                      [-11.0, -11.0, -1.0, -1.0]], np.float32)
+    scores = np.array([0.9, 0.5], np.float32)
+    classes = np.array([0, 1])
+    keep = np.asarray(N.batched_nms_mask(
+        jnp.array(boxes), jnp.array(scores), jnp.array(classes),
+        jnp.ones(2, bool), 0.5))
+    assert keep.tolist() == [True, True]
+
+
 def test_nms_all_invalid():
     boxes = jnp.zeros((32, 4))
     keep = np.asarray(N.nms_mask(boxes, jnp.zeros(32), jnp.zeros(32, bool),

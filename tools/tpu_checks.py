@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""On-device validation battery for the real TPU.
+
+The pytest suite runs on a forced-CPU 8-device mesh (tests/conftest.py)
+— correct for logic, but structurally blind to TPU-only failure modes:
+default-precision bf16 MXU rounding, Mosaic compilation, VMEM limits.
+Both round-2 device bugs (NMS survivor-buffer bf16 rounding, Pallas
+pool f32 VMEM OOM) were invisible to the CPU suite. This script runs
+the device-sensitive checks on the real chip and prints PASS/FAIL per
+check plus a one-line summary. Run it after touching any op with a
+precision= knob, a Pallas kernel, or dtype gating:
+
+    python tools/tpu_checks.py            # ~2-4 min warm cache
+
+Checks:
+  1. nms_topk exactness vs brute-force greedy (clustered boxes at
+     production coordinate scale, several tiles, compacted-buffer path)
+  2. batched per-class NMS exactness vs greedy per class
+  3. Pallas relu+maxpool fwd bit-exactness + bwd vs XLA lowering (bf16
+     at the production stem shape)
+  4. ROIAlign "default" (bf16) path vs "highest" within bf16 tolerance
+  5. f32 stem path compiles (the bf16-only Pallas gate falls back)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}" +
+          (f" — {detail}" if detail and not ok else ""))
+    if not ok:
+        FAILED.append(name)
+
+
+def _greedy_ref(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep = []
+    for pos, i in enumerate(order):
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        bi = boxes[i]
+        for j in order[pos + 1:]:
+            if suppressed[j]:
+                continue
+            bj = boxes[j]
+            ix0 = max(bi[0], bj[0]); iy0 = max(bi[1], bj[1])
+            ix1 = min(bi[2], bj[2]); iy1 = min(bi[3], bj[3])
+            inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+            if inter <= 0:
+                continue
+            a = (bi[2] - bi[0]) * (bi[3] - bi[1])
+            b = (bj[2] - bj[0]) * (bj[3] - bj[1])
+            if inter / (a + b - inter) > thresh:
+                suppressed[j] = True
+    return sorted(keep)
+
+
+def _boxes(rng, n, scale=1344.0):
+    centers = rng.rand(max(n // 8, 1), 2) * scale
+    c = centers[rng.randint(len(centers), size=n)] + rng.randn(n, 2) * 40
+    wh = rng.rand(n, 2) * 200 + 30
+    return np.concatenate([c - wh / 2, c + wh / 2], 1).astype(np.float32)
+
+
+def check_nms_topk():
+    from locov_tpu.ops import nms as N
+    rng = np.random.RandomState(1)
+    bad = 0
+    trials = 12
+    for _ in range(trials):
+        n, k = 900, 250
+        boxes = _boxes(rng, n)
+        scores = rng.rand(n).astype(np.float32)
+        idx, ok = jax.jit(
+            lambda b, s: N.nms_topk_batched(
+                b[None], s[None], jnp.ones((1, n), bool), 0.5, k)
+        )(jnp.asarray(boxes), jnp.asarray(scores))
+        got = np.asarray(idx)[0][np.asarray(ok)[0]].tolist()
+        surv = _greedy_ref(boxes, scores, 0.5)
+        want = sorted(surv, key=lambda i: -scores[i])[:k]
+        if got != want[:len(got)] or len(got) != min(k, len(want)):
+            bad += 1
+    check("nms_topk exact vs greedy (compacted buffer, TPU)", bad == 0,
+          f"{bad}/{trials} trials diverged")
+
+
+def check_batched_nms():
+    from locov_tpu.ops import nms as N
+    rng = np.random.RandomState(2)
+    boxes = _boxes(rng, 400)
+    scores = rng.rand(400).astype(np.float32)
+    classes = rng.randint(0, 5, size=400)
+    keep = np.asarray(jax.jit(
+        lambda b, s, c: N.batched_nms_mask_batched(
+            b[None], s[None], c[None], jnp.ones((1, 400), bool), 0.5)
+    )(jnp.asarray(boxes), jnp.asarray(scores),
+      jnp.asarray(classes)))[0]
+    ok = True
+    detail = []
+    for c in range(5):
+        m = classes == c
+        want = _greedy_ref(boxes[m], scores[m], 0.5)
+        got = sorted(np.nonzero(keep[m])[0].tolist())
+        if got != want:
+            ok = False
+            detail.append(f"cls{c}: got{set(got) - set(want)}"
+                          f" missing{set(want) - set(got)}")
+    check("batched per-class NMS exact vs greedy (TPU)", ok,
+          "; ".join(detail))
+
+
+def check_pallas_pool():
+    from flax import linen as nn
+    from locov_tpu.ops.pallas_pool import relu_maxpool
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 400, 672, 64).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    dy = jnp.asarray(rng.randn(4, 200, 336, 64).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    def ref(t):
+        return nn.max_pool(nn.relu(t), (3, 3), strides=(2, 2),
+                           padding=((1, 1), (1, 1)))
+
+    fwd_ok = bool(jnp.all(relu_maxpool(x) == ref(x)))
+    g1 = jax.jit(jax.grad(lambda t: (
+        relu_maxpool(t).astype(jnp.float32)
+        * dy.astype(jnp.float32)).sum()))(x)
+    g2 = jax.jit(jax.grad(lambda t: (
+        ref(t).astype(jnp.float32)
+        * dy.astype(jnp.float32)).sum()))(x)
+    d = float(jnp.max(jnp.abs(g1.astype(jnp.float32)
+                              - g2.astype(jnp.float32))))
+    # bf16 summation-order differences only (kernel accumulates f32)
+    bwd_ok = d <= 0.25
+    check("pallas relu+maxpool fwd bit-exact (TPU, stem shape)", fwd_ok)
+    check("pallas relu+maxpool bwd vs XLA (bf16 tol)", bwd_ok,
+          f"max|diff|={d}")
+
+
+def check_roi_align_precision():
+    from locov_tpu.ops.roi_align import roi_align_batched
+    rng = np.random.RandomState(4)
+    feat = jnp.asarray(rng.rand(2, 50, 84, 256).astype(np.float32))
+    xy = rng.rand(2, 64, 2) * 1000
+    wh = rng.rand(2, 64, 2) * 300 + 16
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1)
+                        .astype(np.float32))
+    hi = roi_align_batched(feat, boxes, 1 / 16, 14, 2,
+                           precision="highest")
+    lo = roi_align_batched(feat.astype(jnp.bfloat16), boxes, 1 / 16,
+                           14, 2, precision="default")
+    rel = float(jnp.max(jnp.abs(hi - lo.astype(jnp.float32)))
+                / jnp.max(jnp.abs(hi)))
+    check("ROIAlign bf16 path within bf16 tolerance of exact", rel < 2e-2,
+          f"rel={rel}")
+
+
+def check_f32_stem_compiles():
+    from locov_tpu.models.resnet import ResNetStem
+    x = jnp.asarray(np.random.RandomState(5)
+                    .rand(1, 128, 160, 3).astype(np.float32))
+    stem = ResNetStem(out_channels=64)
+    p = stem.init(jax.random.PRNGKey(0), x)
+    try:
+        g = jax.jit(jax.grad(
+            lambda pp: (stem.apply(pp, x) ** 2).sum()))(p)
+        ok = bool(np.isfinite(float(
+            jax.tree_util.tree_reduce(
+                lambda a, b: a + jnp.sum(b), g["params"], 0.0))))
+    except Exception as e:  # noqa: BLE001 — report, don't crash
+        ok = False
+        check("f32 stem train path compiles on TPU", ok, repr(e)[:120])
+        return
+    check("f32 stem train path compiles on TPU", ok)
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    check_nms_topk()
+    check_batched_nms()
+    check_pallas_pool()
+    check_roi_align_precision()
+    check_f32_stem_compiles()
+    n = len(FAILED)
+    print(f"\n{'ALL CHECKS PASSED' if n == 0 else f'{n} CHECK(S) FAILED: {FAILED}'}")
+    sys.exit(1 if n else 0)
+
+
+if __name__ == "__main__":
+    main()
