@@ -115,7 +115,9 @@ def build_stt_eval(batch=8, height=800, width=1344):
 def run_stt_eval():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    from locov_tpu.utils.misc import compile_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      compile_cache_dir())
     from locov_tpu.parallel import get_mesh, make_eval_step, shard_batch
 
     batch = 8
@@ -160,7 +162,9 @@ def run_stt_eval():
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    from locov_tpu.utils.misc import compile_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      compile_cache_dir())
     from locov_tpu.engine.solver import build_optimizer, default_frozen_fn
     from locov_tpu.parallel import get_mesh, make_train_step, shard_batch
 

@@ -70,10 +70,11 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
     (a) the tile sweep stops once every batch row has ``stop_after``
         survivors among the already-decided (higher-scoring) boxes;
         later boxes are reported suppressed;
-    (b) each tile is suppressed against a COMPACTED buffer of alive
-        earlier boxes (capacity ``stop_after`` + one tile) instead of
-        all earlier boxes — O(N * stop_after) IoU work instead of
-        O(N^2). A row that overflows the buffer may mis-decide boxes
+    (b) when the input spans more than two tiles, each tile is
+        suppressed against a COMPACTED buffer of alive earlier boxes
+        (capacity ``stop_after`` + one tile) instead of all earlier
+        boxes — O(N * stop_after) IoU work instead of O(N^2); smaller
+        inputs run the plain exact sweep (same results). A row that overflows the buffer may mis-decide boxes
         AFTER its ``stop_after``-th survivor, but the first
         ``stop_after`` survivors (the only ones top-k returns — they
         are decided in score order, before any overflow) are always
@@ -151,7 +152,14 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
         return jax.lax.dynamic_update_slice_in_dim(active, tile_alive,
                                                    start, axis=1)
 
-    if stop_after > 0:
+    # The compacted buffer only pays when the input spans several
+    # tiles; tiny inputs run the plain exact sweep below. (This also
+    # sidesteps a hard XLA:CPU runtime abort observed when the
+    # compacted while_loop runs at single-tile shapes inside the
+    # sharded train step — see tests/test_integration.py; the TPU
+    # production shapes always take the compacted path and are
+    # covered by tools/tpu_checks.py.)
+    if stop_after > 0 and num_tiles > 2:
         pos = jnp.arange(n_pad)[None, :]
         cap = min(-(-(stop_after + TILE) // TILE) * TILE, n_pad)
         slot = jnp.arange(cap)
@@ -191,11 +199,17 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                 active, tile_alive, start, axis=1)
             return i + 1, active, surv, cnt
 
+        # initial carries must inherit the device-varying type of the
+        # sharded inputs: under shard_map a plain-zeros carry is
+        # "unvarying" while the loop body's update is varying, which
+        # ill-types the while_loop (shard_map varying-axes check; seen
+        # as a hard abort from the trainer's pjit path)
+        surv0 = jnp.zeros((bsz, cap, 4), boxes_p.dtype) \
+            + 0.0 * boxes_p[:, :1]
+        cnt0 = jnp.zeros((bsz,), jnp.int32) \
+            + 0 * jnp.sum(valid_p, axis=1, dtype=jnp.int32)
         i_stop, active, _, _ = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(0), valid_p,
-             jnp.zeros((bsz, cap, 4), boxes_p.dtype),
-             jnp.zeros((bsz,), jnp.int32)))
+            cond, body, (jnp.int32(0), valid_p, surv0, cnt0))
         # everything past the stop point is reported suppressed
         active = active & (pos < i_stop * TILE)
     else:

@@ -55,3 +55,19 @@ def parameter_count_table(params, max_depth: int = 2) -> str:
         lines.append(f"{k:50s} {agg[k]:12,d}")
     lines.append(f"{'TOTAL':50s} {total:12,d}")
     return "\n".join(lines)
+
+
+def compile_cache_dir(base: str = "/tmp/jax_cache_tpu") -> str:
+    """Persistent-compilation-cache dir keyed by the host's CPU
+    feature flags. This machine migrates between hosts with different
+    vector extensions, and XLA happily LOADS an AOT result compiled
+    for a CPU the current host can't execute — observed as a mid-run
+    SIGABRT/SIGILL rather than a cache miss. Keying the directory by
+    /proc/cpuinfo flags turns a host change into a clean cold cache."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    return base + "_" + hashlib.md5(flags.encode()).hexdigest()[:10]

@@ -20,8 +20,20 @@ assert jax.devices()[0].platform == "cpu", (
 assert len(jax.devices()) == 8
 
 # persistent compilation cache: test shapes are stable across runs, so
-# reruns skip XLA compilation entirely
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# reruns skip XLA compilation entirely. The dir is keyed by the host's
+# CPU feature set: this box migrates between hosts with different
+# vector extensions, and XLA happily LOADS an AOT result compiled for
+# a CPU it can't run on — observed as a mid-suite SIGABRT/SIGILL, not
+# a cache miss.
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next((ln for ln in f if ln.startswith("flags")), "")
+except OSError:
+    _flags = ""
+_tag = hashlib.md5(_flags.encode()).hexdigest()[:10]
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_{_tag}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402

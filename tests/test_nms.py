@@ -107,6 +107,38 @@ def test_batched_nms_negative_coords_keep_classes_disjoint():
     assert keep.tolist() == [True, True]
 
 
+def test_nms_topk_under_shard_map(rng):
+    """The compacted stop_after while_loop must be well-typed under
+    shard_map (its initial carries must be device-varying) — this is
+    the RPN proposal path inside every sharded train step; a plain
+    -zeros carry aborted the STT integration test."""
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    B, n, k = 8, 900, 16  # 4 tiles: exercises the compacted path
+    boxes, scores = zip(*[_rand(rng, n) for _ in range(B)])
+    boxes = np.stack(boxes)
+    scores = np.stack(scores)
+    valid = np.ones((B, n), bool)
+
+    def f(b, s, v):
+        idx, ok = N.nms_topk_batched(b, s, v, 0.5, k)
+        return idx, ok
+
+    idx, ok = jax.jit(shard_map(
+        f, mesh=mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data"))))(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    for r in range(B):
+        surv = _greedy_nms_ref(boxes[r], scores[r], 0.5)
+        want = sorted(surv, key=lambda i: -scores[r][i])[:k]
+        assert idx[r][ok[r]].tolist() == want[:ok[r].sum()]
+
+
 def test_nms_all_invalid():
     boxes = jnp.zeros((32, 4))
     keep = np.asarray(N.nms_mask(boxes, jnp.zeros(32), jnp.zeros(32, bool),

@@ -95,7 +95,9 @@ def main():
     nsteps = args.steps
     if trace_dir is None:
         import jax
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        from locov_tpu.utils.misc import compile_cache_dir
+        jax.config.update("jax_compilation_cache_dir",
+                          compile_cache_dir())
         from bench import build_full
         from locov_tpu.engine.solver import (build_optimizer,
                                              default_frozen_fn)

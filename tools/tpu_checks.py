@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+from locov_tpu.utils.misc import compile_cache_dir
+jax.config.update("jax_compilation_cache_dir", compile_cache_dir())
 
 FAILED = []
 
