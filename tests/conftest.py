@@ -8,8 +8,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The 8 virtual device threads time-slice this box's single core; the
+# heavy train-step programs can take >40 s of wall time to reach their
+# first pmean, and XLA:CPU's collective rendezvous then CHECK-fails
+# ("Expected 8 threads to join ... only 1 arrived") and ABORTS the
+# process. Seen as a nondeterministic SIGABRT in the integration
+# tests, worse under concurrent load. Raise both collective timeouts.
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
