@@ -21,16 +21,13 @@ import time
 def build_full(batch=4, height=800, width=1344, text_len=70):
     import jax.numpy as jnp
     import numpy as np
-    from locov_tpu.config import get_cfg
+    from locov_tpu.config import config_path, get_cfg
     from locov_tpu.models import build_meta_arch
     from locov_tpu.structures.batches import (DetectionBatch, GtBatch,
                                               ImageBatch, TextBatch)
 
     cfg = get_cfg()
-    cfg.merge_from_file("/root/reference/configs/coco_lsm.yaml") \
-        if __import__("os").path.exists(
-            "/root/reference/configs/coco_lsm.yaml") else \
-        cfg.merge_from_file("configs/coco_lsm.yaml")
+    cfg.merge_from_file(config_path("coco_lsm.yaml"))
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     model = build_meta_arch(cfg)
 
@@ -75,22 +72,15 @@ def build_stt_eval(batch=8, height=800, width=1344):
     """STT detection inference workload: OvrRCNN from coco_stt.yaml,
     RPN 6000->1000 proposals, 65-class embedding classifier + per-class
     NMS, top-100 detections (reference eval path, SURVEY §3.3)."""
-    import os
-
     import jax.numpy as jnp
     import numpy as np
-    from locov_tpu.config import get_cfg
+    from locov_tpu.config import config_path, get_cfg
     from locov_tpu.models import build_meta_arch
     from locov_tpu.structures.batches import (DetectionBatch, GtBatch,
                                               ImageBatch)
 
     cfg = get_cfg()
-    path = "/root/reference/configs/coco_stt.yaml"
-    if os.path.exists(path):
-        cfg.merge_from_file(path)
-    else:
-        cfg.MODEL.META_ARCHITECTURE = "OvrRCNN"
-        cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.merge_from_file(config_path("coco_stt.yaml"))
     cfg.MODEL.WEIGHTS = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     model = build_meta_arch(cfg)

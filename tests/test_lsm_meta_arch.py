@@ -17,7 +17,8 @@ TINY_LANG = (50, 16, 2, 2, 32, 0.0, 0.0, 16, 2, 0.02, 1e-12, 0)
 
 def _lsm_cfg():
     cfg = get_cfg()
-    cfg.merge_from_file("/root/reference/configs/coco_lsm.yaml")
+    from locov_tpu.config import config_path
+    cfg.merge_from_file(config_path("coco_lsm.yaml"))
     cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 12
     cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 48
     cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 24
