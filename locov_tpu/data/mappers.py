@@ -34,21 +34,29 @@ def read_image(path: str, fmt: str = "BGR"):
 
 
 # -------------------------------------------------------------- noise (QA)
+# Robustness-study label-noise injectors. Faithful ports of the
+# reference semantics (ovr/data/detection_utils.py:105-213): boxes here
+# are xyxy (the repo convention) but every random draw mirrors the
+# reference's xywh-space computation.
+
 def rm_annotation(anns: List[dict], frac: float,
                   rng: random.Random) -> List[dict]:
-    """Remove a fraction of boxes (detection_utils rm_annotation)."""
-    n_rm = int(frac * len(anns)) if frac < 1 else int(frac)
-    keep = list(anns)
-    for _ in range(min(n_rm, max(len(keep) - 1, 0))):
-        keep.pop(rng.randrange(len(keep)))
-    return keep
+    """Keep a random int((1-frac)*N) subset; if that would drop below
+    one box, keep everything (detection_utils.py:148-161)."""
+    n_keep = int((1 - frac) * len(anns))
+    if n_keep < 1:
+        return anns
+    idx_keep = set(rng.sample(range(len(anns)), n_keep))
+    return [a for i, a in enumerate(anns) if i in idx_keep]
 
 
 def add_noise_annotation(anns: List[dict], frac: float, num_classes: int,
                          hw, rng: random.Random) -> List[dict]:
-    """Add random boxes with random labels."""
+    """Append int(frac*N) (or int(frac) if frac>=1) random boxes with
+    random labels; sizes drawn in [dim//6, dim*4//6]
+    (detection_utils.py:105-135)."""
     h, w = hw
-    n_add = int(frac * len(anns)) if frac < 1 else int(frac)
+    n_add = int(frac * len(anns)) if 0 < frac < 1 else int(frac)
     out = list(anns)
     for _ in range(n_add):
         bw = rng.randint(max(w // 6, 1), max(w * 4 // 6, 2))
@@ -63,37 +71,62 @@ def add_noise_annotation(anns: List[dict], frac: float, num_classes: int,
 
 def add_noise_cls(anns: List[dict], num_classes: int,
                   rng: random.Random) -> List[dict]:
-    """Relabel one random box."""
-    if not anns:
-        return anns
+    """Relabel EVERY box with an independent random class
+    (detection_utils.py:137-146)."""
     out = [dict(a) for a in anns]
-    out[rng.randrange(len(out))]["category_id"] = rng.randrange(num_classes)
+    for a in out:
+        a["category_id"] = rng.randrange(num_classes)
     return out
 
 
-def add_noise_loc(anns: List[dict], frac: float, hw,
+def add_noise_loc(anns: List[dict], hw,
                   rng: random.Random) -> List[dict]:
-    """Shift one random box by up to frac of its size."""
-    if not anns:
-        return anns
+    """Jitter EVERY box: origin shifted by up to box_dim//8, size
+    changed by up to box_dim//8 and clamped to image_dim-1
+    (detection_utils.py:198-213; the reference's noise_loc argument is
+    only the activation gate, the jitter amount is fixed at 1/8)."""
     h, w = hw
     out = [dict(a) for a in anns]
-    a = out[rng.randrange(len(out))]
-    x0, y0, x1, y1 = a["bbox"]
-    dx = rng.uniform(-frac, frac) * (x1 - x0)
-    dy = rng.uniform(-frac, frac) * (y1 - y0)
-    a["bbox"] = [min(max(x0 + dx, 0), w), min(max(y0 + dy, 0), h),
-                 min(max(x1 + dx, 0), w), min(max(y1 + dy, 0), h)]
+    for a in out:
+        x0, y0, x1, y1 = a["bbox"]
+        bw, bh = x1 - x0, y1 - y0
+        dx8, dy8 = max(int(bw) // 8, 0), max(int(bh) // 8, 0)
+        nx = max(x0 + rng.randint(-dx8, dx8), 0)
+        ny = max(y0 + rng.randint(-dy8, dy8), 0)
+        nw = min(bw + rng.randint(-dx8, dx8), w - 1)
+        nh = min(bh + rng.randint(-dy8, dy8), h - 1)
+        a["bbox"] = [nx, ny, nx + nw, ny + nh]
     return out
 
 
-def ign_annotation(anns: List[dict], frac: float,
+def ign_annotation(anns: List[dict], frac: float, num_classes: int,
                    rng: random.Random) -> List[dict]:
-    """Set a fraction of labels to -1 (ignored)."""
+    """Offline variant: mark a random complement of int((1-frac)*N)
+    kept boxes as ignored by setting category_id to num_classes (the
+    reference's len(thing_classes) 'ignore' slot,
+    detection_utils.py:163-186); if fewer than one box would survive,
+    leave everything untouched."""
+    n_keep = int((1 - frac) * len(anns))
+    if n_keep < 1:
+        return anns
+    idx_keep = set(rng.sample(range(len(anns)), n_keep))
     out = [dict(a) for a in anns]
-    n = int(frac * len(out)) if frac < 1 else int(frac)
-    for i in rng.sample(range(len(out)), min(n, len(out))):
-        out[i]["category_id"] = -1
+    for i, a in enumerate(out):
+        if i not in idx_keep:
+            a["category_id"] = num_classes
+    return out
+
+
+def online_ign_annotation(anns: List[dict],
+                          thing_classes: List[str]) -> List[dict]:
+    """Online variant: any box whose class is literally named 'ignore'
+    gets category_id -1 (detection_utils.py:188-196)."""
+    out = [dict(a) for a in anns]
+    for a in out:
+        cid = a["category_id"]
+        if 0 <= cid < len(thing_classes) and \
+                thing_classes[cid] == "ignore":
+            a["category_id"] = -1
     return out
 
 
@@ -164,20 +197,24 @@ class DetectionMapper:
         anns = [a for a in d.get("annotations", [])
                 if a.get("iscrowd", 0) == 0]
 
-        # noise injection (train only, online)
-        num_classes = len(self.metadata.get("thing_classes", []) or [1])
+        # noise injection — gating mirrors the reference mapper
+        # (basic_mappers.py:221-234): cls/loc fire per-sample with
+        # probability 1-p; NOISE_IGN>0 activates the online
+        # 'ignore'-class pass regardless of NOISE_OFFLINE.
+        thing_classes = list(self.metadata.get("thing_classes", []) or [])
+        num_classes = len(thing_classes) or 1
         if self.is_train and not self.noise["offline"]:
             if self.noise["rm"] > 0:
                 anns = rm_annotation(anns, self.noise["rm"], rng)
             if self.noise["cls"] > 0 and rng.random() > self.noise["cls"]:
                 anns = add_noise_cls(anns, num_classes, rng)
             if self.noise["loc"] > 0 and rng.random() > self.noise["loc"]:
-                anns = add_noise_loc(anns, self.noise["loc"], (ih, iw), rng)
+                anns = add_noise_loc(anns, (ih, iw), rng)
             if self.noise["bbox"] > 0:
                 anns = add_noise_annotation(anns, self.noise["bbox"],
                                             num_classes, (ih, iw), rng)
         if self.noise["ign"] > 0:
-            anns = ign_annotation(anns, self.noise["ign"], rng)
+            anns = online_ign_annotation(anns, thing_classes)
 
         # resize (+ flip)
         short = rng.choice(self.min_sizes)
@@ -208,7 +245,12 @@ class DetectionMapper:
             image_r = self.strong_aug(image_r, rng)
 
         record = {
-            "image": image_r.astype(np.float32),
+            # native dtype (uint8 off the decoder): the float32 cast
+            # happens ONCE in collate, fused with batch padding — the
+            # per-record astype+pad+stack chain was 3 full-image copies
+            # and the single largest host-pipeline cost
+            # (tools/bench_loader.py)
+            "image": image_r,
             "hw": np.array([nh, nw], np.int32),
             "orig_hw": np.array([d.get("height", ih), d.get("width", iw)],
                                 np.int32),

@@ -28,8 +28,13 @@ logger = logging.getLogger(__name__)
 
 
 def greedy_nms(boxes: np.ndarray, scores: np.ndarray,
-               thresh: float) -> np.ndarray:
-    """Host-side exact greedy NMS; returns kept indices (score-desc)."""
+               thresh: float, classes: np.ndarray = None) -> np.ndarray:
+    """Host-side exact greedy NMS; returns kept indices (score-desc).
+
+    With ``classes`` given, suppression only applies between boxes of
+    the same class (per-class NMS via class-equality masking — the same
+    formulation the device path uses in ops/nms.py; the coordinate
+    offset trick is deliberately avoided repo-wide)."""
     order = np.argsort(-scores, kind="mergesort")
     keep = []
     suppressed = np.zeros(len(boxes), bool)
@@ -43,7 +48,10 @@ def greedy_nms(boxes: np.ndarray, scores: np.ndarray,
         wh = np.clip(rb - lt, 0, None)
         inter = wh[:, 0] * wh[:, 1]
         iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
-        suppressed |= iou > thresh
+        hit = iou > thresh
+        if classes is not None:
+            hit &= classes == classes[i]
+        suppressed |= hit
     return np.asarray(keep, np.int64)
 
 
@@ -57,10 +65,7 @@ def merge_tta_detections(flat: Dict[str, np.ndarray], nms_thresh: float,
         boxes = flat["box"][sel]
         scores = flat["score"][sel]
         cls = flat["cls"][sel]
-        # class-offset trick: shift boxes per class so NMS is per-class
-        offset = cls.astype(np.float64)[:, None] * (
-            boxes.max() - boxes.min() + 1.0)
-        keep = greedy_nms(boxes + offset, scores, nms_thresh)
+        keep = greedy_nms(boxes, scores, nms_thresh, classes=cls)
         if len(keep) > topk:
             keep = keep[:topk]  # greedy_nms returns score-desc order
         out["img"].append(np.full(len(keep), img, np.int64))

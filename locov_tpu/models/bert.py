@@ -81,7 +81,10 @@ class BertSelfAttention(nn.Module):
         wv, bv = _DenseParams((h, h), c.initializer_range, name="value")()
         w = jnp.concatenate([wq, wk, wv], axis=1)       # [h, 3h]
         b = jnp.concatenate([bq, bk, bv])               # [3h]
-        dt = c.dtype or hidden.dtype
+        # match nn.Dense promotion semantics when cfg.dtype is None
+        # ("None = f32 exactly"): bf16 activations x f32 params must
+        # promote to f32, not silently stay bf16
+        dt = c.dtype or jnp.promote_types(hidden.dtype, jnp.float32)
         qkv = hidden.astype(dt) @ w.astype(dt) + b.astype(dt)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 

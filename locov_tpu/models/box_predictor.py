@@ -170,8 +170,11 @@ def fast_rcnn_inference_batched(scores: jnp.ndarray, deltas: jnp.ndarray,
 
     scores: [B, N, K+1] raw logits; deltas: [B, N, 4] (class-agnostic);
     proposal_boxes: [B, N, 4]. softmax -> drop bg -> score thresh ->
-    per-class NMS (offset trick) -> top-k. The NMS loop nest runs
-    batched, never under vmap (compile-time hazard on TPU)."""
+    per-class NMS (class-equality masking inside the IoU sweep; the
+    coordinate-offset trick is avoided repo-wide — negative coords +
+    f32 offset rounding make it inexact on device) -> top-k. The NMS
+    loop nest runs batched, never under vmap (compile-time hazard on
+    TPU)."""
     probs = jax.nn.softmax(scores, axis=-1)[..., :-1]  # [B, N, K]
     b, n, k = probs.shape
     boxes = box_ops.apply_deltas(deltas, proposal_boxes,
@@ -200,9 +203,13 @@ def fast_rcnn_inference_batched(scores: jnp.ndarray, deltas: jnp.ndarray,
     cand_classes = jnp.take_along_axis(flat_classes, cand_idx, axis=1)
     cand_valid = cand_scores > jnp.maximum(pcfg.test_score_thresh, 0.0)
 
+    # stop_after = the top-k this function returns: turns on the
+    # compacted O(N*k) survivor buffer + early tile stop (exact for
+    # top-k consumers — see nms_mask_batched); without it the 4096
+    # candidates pay the full O(N^2/TILE) tile sweep
     keep = nms_ops.batched_nms_mask_batched(
         cand_boxes, cand_scores, cand_classes, cand_valid,
-        pcfg.test_nms_thresh)
+        pcfg.test_nms_thresh, stop_after=pcfg.test_topk_per_image)
     kept_scores = jnp.where(keep, cand_scores, -1.0)
     top_scores, top_idx = jax.lax.top_k(kept_scores,
                                         pcfg.test_topk_per_image)

@@ -181,11 +181,19 @@ class ResNetStem(nn.Module):
         x = _conv_frozen_bn(x, self.out_channels, 7, 2, "conv1",
                             self.compute_dtype, relu=False)
         # bf16-only: the f32 backward kernel exceeds the 16 MB VMEM
-        # limit at production stem widths
+        # limit at production stem widths. Fused path is TPU-only:
+        # interpret-mode Pallas is orders of magnitude slower than the
+        # plain XLA lowering, so off-TPU it is opt-in via
+        # LOCOV_PALLAS_INTERPRET=1 (test coverage of the kernel logic
+        # on tiny shapes only).
+        import os
+        on_tpu = jax.default_backend() == "tpu"
         if (x.shape[1] % 16 == 0 and x.shape[2] % 2 == 0
-                and x.dtype == jnp.bfloat16):
+                and x.dtype == jnp.bfloat16
+                and (on_tpu
+                     or os.environ.get("LOCOV_PALLAS_INTERPRET") == "1")):
             from ..ops.pallas_pool import relu_maxpool
-            return relu_maxpool(x, jax.default_backend() != "tpu")
+            return relu_maxpool(x, not on_tpu)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2),
                            padding=((1, 1), (1, 1)))

@@ -143,12 +143,24 @@ class CSVWriter:
                 csv.writer(f).writerow(self._columns)
         missing = [c for c in row if c not in self._columns]
         if missing:
-            # metric names appear lazily (e.g. eval metrics); record the
-            # expanded column set in a comment row (proper csv quoting —
-            # many metric names contain commas)
-            self._columns += sorted(missing)
-            with open(self.path, "a", newline="") as f:
-                csv.writer(f).writerow(["# columns"] + self._columns)
+            # Metric names appear lazily (e.g. eval metrics join at the
+            # first EvalHook firing). Keep the file a single-schema CSV:
+            # rewrite it under the expanded header, padding prior rows.
+            # Expansion is rare (once per new metric group), so the
+            # rewrite cost is negligible at LOG_PERIOD granularity.
+            old_columns = self._columns
+            self._columns = old_columns + sorted(missing)
+            try:
+                with open(self.path, newline="") as f:
+                    rows = list(csv.reader(f))[1:]  # drop old header
+            except FileNotFoundError:
+                rows = []
+            with open(self.path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(self._columns)
+                pad = [""] * len(missing)
+                for r in rows:
+                    w.writerow(r + pad)
         with open(self.path, "a", newline="") as f:
             csv.writer(f).writerow(
                 [row.get(c, "") for c in self._columns])

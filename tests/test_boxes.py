@@ -93,15 +93,13 @@ def test_batched_pairwise_iou(rng):
 
 
 def test_config_surface_merges_reference_yamls():
-    from locov_tpu.config import get_cfg
-    import os
-    ref = "/root/reference/configs"
+    from locov_tpu.config import config_path, get_cfg
     for name in ["coco_lsm.yaml", "coco_stt.yaml"]:
         cfg = get_cfg()
-        cfg.merge_from_file(os.path.join(ref, name))
+        cfg.merge_from_file(config_path(name))
         assert cfg.MODEL.RESNETS.DEPTH == 50
     cfg = get_cfg()
-    cfg.merge_from_file(os.path.join(ref, "coco_lsm.yaml"))
+    cfg.merge_from_file(config_path("coco_lsm.yaml"))
     # yacs-style literal_eval of tuple-typed strings
     assert cfg.MODEL.MMSS_HEAD.TYPES == ("GroundingHead", "TransformerHead")
     assert cfg.MODEL.BACKBONE_PREFIX == ("backbone.body.",)

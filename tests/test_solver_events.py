@@ -126,3 +126,35 @@ def test_event_storage_and_writers(tmp_path):
             open(tmp_path / "metrics.json").read().splitlines()]
     assert len(rows) == 3 and rows[1]["iteration"] == 1
     assert (tmp_path / "m.csv").exists()
+
+
+def test_csv_writer_schema_stable_under_lazy_columns(tmp_path):
+    """Columns that appear mid-run (eval metrics) must not break strict
+    CSV consumers: the file is rewritten under one expanded header, no
+    comment rows."""
+    import csv
+
+    from locov_tpu.utils.events import CSVWriter, EventStorage
+    st = EventStorage()
+    cw = CSVWriter(str(tmp_path / "m.csv"), epoch_size=10)
+    for it in range(2):
+        st.iter = it
+        st.put_scalar("total_loss", float(it))
+        cw.write(st)
+    st.iter = 2
+    st.put_scalar("total_loss", 2.0)
+    st.put_scalar("bbox/AP", 0.3)  # lazily-appearing eval metric
+    cw.write(st)
+    st.iter = 3
+    st.put_scalar("total_loss", 3.0)
+    cw.write(st)
+
+    with open(tmp_path / "m.csv", newline="") as f:
+        rows = list(csv.reader(f))
+    header, body = rows[0], rows[1:]
+    assert "bbox/AP" in header and "total_loss" in header
+    assert all(len(r) == len(header) for r in body)
+    assert not any(r[0].startswith("#") for r in body)
+    d = list(csv.DictReader(open(tmp_path / "m.csv", newline="")))
+    assert d[0]["bbox/AP"] == ""  # padded pre-expansion row
+    assert d[2]["bbox/AP"] == "0.3"
