@@ -50,9 +50,12 @@ class ROIHeadsConfig(NamedTuple):
             iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),
             proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
             pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
-            # d2 sampling_ratio 0 means adaptive (dynamic shape); we fix
-            # it at 2 samples per bin — the standard static choice.
-            pooler_sampling_ratio=sr if sr > 0 else 2,
+            # d2 sampling_ratio 0 = ADAPTIVE (ceil(roi_size/pooled)
+            # samples per bin) — the reference's operating point; the
+            # XLA path implements it statically (ops/roi_align.py
+            # _adaptive_coords). The Pallas variant is a fixed-grid
+            # kernel, so it substitutes ratio 2 when adaptive is asked.
+            pooler_sampling_ratio=sr,
             feature_stride=16,
             use_pallas_roi_align=cfg.TPU.USE_PALLAS_ROIALIGN)
 
@@ -148,7 +151,8 @@ class Res5ROIHeads(nn.Module):
             pooled = roi_align_pallas(
                 features, boxes, 1.0 / self.rcfg.feature_stride,
                 self.rcfg.pooler_resolution,
-                self.rcfg.pooler_sampling_ratio)
+                self.rcfg.pooler_sampling_ratio
+                if self.rcfg.pooler_sampling_ratio > 0 else 2)
         else:
             # bf16 features -> default (bf16-MXU) interpolation passes;
             # f32 features keep exact interpolation

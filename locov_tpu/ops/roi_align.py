@@ -23,11 +23,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _interp_matrix(coords: jnp.ndarray, dim: int) -> jnp.ndarray:
-    """Average bilinear hat weights for sample coordinates.
+def _interp_matrix(coords: jnp.ndarray, dim: int,
+                   sample_weights: jnp.ndarray = None) -> jnp.ndarray:
+    """Averaged bilinear hat weights for sample coordinates.
 
     coords: [N, P, S] continuous sample positions along one axis.
-    Returns [N, P, dim] weights averaged over the S samples per bin.
+    Returns [N, P, dim] weights averaged over the S samples per bin;
+    with ``sample_weights`` [N, P, S] given, samples are combined by
+    weighted sum instead (per-box sample counts for adaptive sampling).
     """
     outside = (coords < -1.0) | (coords > dim)
     c = jnp.clip(coords, 0.0, dim - 1.0)
@@ -42,7 +45,9 @@ def _interp_matrix(coords: jnp.ndarray, dim: int) -> jnp.ndarray:
     onehot_low = (low[..., None] == grid).astype(coords.dtype)
     onehot_high = (high[..., None] == grid).astype(coords.dtype)
     w = w_low[..., None] * onehot_low + w_high[..., None] * onehot_high
-    return w.mean(axis=2)  # average over sampling points
+    if sample_weights is None:
+        return w.mean(axis=2)  # average over sampling points
+    return (w * sample_weights[..., None]).sum(axis=2)
 
 
 def _sample_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
@@ -55,6 +60,38 @@ def _sample_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
     return lo[:, None, None] + (p + s) * bin_size[:, None, None]
 
 
+# Static cap on the adaptive per-bin sampling grid. d2's adaptive mode
+# uses ceil(roi_size/pooled) samples per bin; at stride 16 / pooled 14
+# the cap of 8 is exact for any ROI up to 8*14*16 = 1792 image pixels
+# per side — beyond every shipped INPUT.MAX_SIZE. Boxes larger than
+# that are sampled at the cap (still denser than any fixed ratio).
+ADAPTIVE_SR_MAX = 8
+
+
+def _adaptive_coords(lo: jnp.ndarray, size: jnp.ndarray, pooled: int,
+                     sr_max: int = ADAPTIVE_SR_MAX):
+    """d2 adaptive sampling (POOLER_SAMPLING_RATIO=0,
+    reference consumption site roi_emb_heads.py:176-187 -> d2 ROIAlign):
+    per-box per-axis grid of ceil(roi_size/pooled) samples, here as a
+    static [N, P, sr_max] slot array with zero weight on unused slots.
+    Degenerate (size<=0) boxes get an empty grid -> all-zero weights ->
+    zero output, matching the CUDA kernel's empty loop + max(count,1).
+
+    Returns (coords [N, P, S], sample_weights [N, P, S])."""
+    dt = lo.dtype
+    bin_size = size / pooled                         # [N]
+    sr = jnp.clip(jnp.ceil(bin_size), 0.0, float(sr_max))  # [N]
+    srn = jnp.maximum(sr, 1.0)[:, None]              # [N, 1]
+    s_idx = jnp.arange(sr_max, dtype=dt)[None, :]    # [1, S]
+    pos = (s_idx + 0.5) / srn                        # [N, S] in-bin frac
+    p = jnp.arange(pooled, dtype=dt)[None, :, None]  # [1, P, 1]
+    coords = lo[:, None, None] + \
+        (p + pos[:, None, :]) * bin_size[:, None, None]
+    weight = jnp.where(s_idx < sr[:, None], 1.0 / srn, 0.0)  # [N, S]
+    weight = jnp.broadcast_to(weight[:, None, :], coords.shape)
+    return coords, weight
+
+
 def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
                       spatial_scale: float, pooled: int = 14,
                       sampling_ratio: int = 2, chunk: int = 200,
@@ -65,6 +102,11 @@ def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
     hand-written backward is a chunked accumulation of Ky^T @ g @ Kx.
     Boxes are non-differentiable (proposals are stop-gradient inputs,
     matching d2)."""
+    # Clamp the chunk so small-N call sites (single-image wrapper,
+    # precomputed-proposal paths with N << default) don't pad N up to
+    # the large-N tuning and pay ~chunk/N x the einsum FLOPs/HBM.
+    n = boxes.shape[1]
+    chunk = max(min(chunk, -(-n // 8) * 8), 1)
     return _roi_align_core(features, boxes, spatial_scale, pooled,
                            sampling_ratio, chunk, precision)
 
@@ -92,7 +134,6 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
     intermediate."""
     b, h, w = features.shape[0], features.shape[1], features.shape[2]
     n = boxes.shape[1]
-    sr = max(int(sampling_ratio), 1)
     # aligned=True (ROIAlignV2): half-pixel correction, no size clamping
     x0 = boxes[..., 0] * spatial_scale - 0.5
     y0 = boxes[..., 1] * spatial_scale - 0.5
@@ -100,10 +141,20 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
     bh = boxes[..., 3] * spatial_scale - 0.5 - y0
 
     flat = lambda v: v.reshape(b * n)
-    ky = _interp_matrix(_sample_coords(flat(y0), flat(bh), pooled, sr),
-                        h).reshape(b, n, pooled, h)
-    kx = _interp_matrix(_sample_coords(flat(x0), flat(bw), pooled, sr),
-                        w).reshape(b, n, pooled, w)
+    if sampling_ratio > 0:
+        sr = int(sampling_ratio)
+        ky = _interp_matrix(
+            _sample_coords(flat(y0), flat(bh), pooled, sr),
+            h).reshape(b, n, pooled, h)
+        kx = _interp_matrix(
+            _sample_coords(flat(x0), flat(bw), pooled, sr),
+            w).reshape(b, n, pooled, w)
+    else:
+        # sampling_ratio<=0: d2 adaptive grid (see _adaptive_coords)
+        cy, wy = _adaptive_coords(flat(y0), flat(bh), pooled)
+        cx, wx = _adaptive_coords(flat(x0), flat(bw), pooled)
+        ky = _interp_matrix(cy, h, wy).reshape(b, n, pooled, h)
+        kx = _interp_matrix(cx, w, wx).reshape(b, n, pooled, w)
 
     pad = (-n) % chunk
     if pad:

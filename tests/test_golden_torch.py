@@ -466,6 +466,97 @@ def _torch_roi_align_ref(feat, boxes, scale, pooled, ratio):
     return out.numpy()
 
 
+def _torch_roi_align_adaptive_ref(feat, boxes, scale, pooled,
+                                  sr_cap=None):
+    """d2 POOLER_SAMPLING_RATIO=0 semantics: per-box per-axis grid of
+    ceil(roi_size/pooled) samples (empty grid -> zero output), averaged
+    — the adaptive mode the reference runs. Built on the same
+    grid_sample bilinear core as _torch_roi_align_ref. sr_cap mirrors
+    the static ADAPTIVE_SR_MAX cap of the jax implementation."""
+    C, H, W = feat.shape
+    N = boxes.shape[0]
+    out = torch.zeros(N, C, pooled, pooled)
+    for n in range(N):
+        x1, y1, x2, y2 = boxes[n] * scale
+        x1, y1 = x1 - 0.5, y1 - 0.5
+        x2, y2 = x2 - 0.5, y2 - 0.5
+        roi_w, roi_h = x2 - x1, y2 - y1
+        rx = int(np.ceil(roi_w / pooled))
+        ry = int(np.ceil(roi_h / pooled))
+        if sr_cap is not None:
+            rx, ry = min(rx, sr_cap), min(ry, sr_cap)
+        if rx <= 0 or ry <= 0:
+            continue  # empty sampling loop in the CUDA kernel
+        bw, bh = roi_w / pooled, roi_h / pooled
+        ys = y1 + (np.arange(pooled)[:, None] +
+                   (np.arange(ry)[None, :] + 0.5) / ry) * bh
+        xs = x1 + (np.arange(pooled)[:, None] +
+                   (np.arange(rx)[None, :] + 0.5) / rx) * bw
+        ys = ys.reshape(-1)
+        xs = xs.reshape(-1)
+        yv = np.broadcast_to(ys[:, None], (ys.size, xs.size))
+        xv = np.broadcast_to(xs[None, :], (ys.size, xs.size))
+        valid = ((yv >= -1.0) & (yv <= H) & (xv >= -1.0) & (xv <= W))
+        yc = np.clip(yv, 0, H - 1)
+        xc = np.clip(xv, 0, W - 1)
+        gy = 2.0 * yc / (H - 1) - 1.0 if H > 1 else np.zeros_like(yc)
+        gx = 2.0 * xc / (W - 1) - 1.0 if W > 1 else np.zeros_like(xc)
+        grid = torch.from_numpy(
+            np.stack([gx, gy], axis=-1)[None].astype(np.float32))
+        samp = torch.nn.functional.grid_sample(
+            feat[None].float(), grid, mode="bilinear",
+            padding_mode="border", align_corners=True)[0]
+        samp = samp * torch.from_numpy(valid.astype(np.float32))
+        samp = samp.reshape(C, pooled, ry, pooled, rx)
+        out[n] = samp.mean(dim=(2, 4))
+    return out.numpy()
+
+
+def test_roi_align_adaptive_matches_torch_grid_sample():
+    """POOLER_SAMPLING_RATIO=0 (the reference's operating point):
+    small, medium, huge and degenerate ROIs against the torch adaptive
+    reference — the AP-parity-critical numeric path."""
+    from locov_tpu.ops.roi_align import roi_align
+
+    rng = np.random.RandomState(11)
+    H, W, C = 24, 32, 5
+    feat = rng.randn(H, W, C).astype(np.float32)
+    scale, pooled = 0.25, 7
+    boxes = np.array([
+        [10.0, 10.0, 11.0, 12.0],        # tiny: grid 1x1
+        [4.0, 4.0, 60.0, 48.0],          # medium: mixed grid
+        [0.0, 0.0, 128.0, 96.0],         # whole image: grid > 2
+        [-8.0, -8.0, 140.0, 100.0],      # past borders, large grid
+        [0.0, 0.0, 200.0, 190.0],        # big: grid up to 7x7
+        [20.0, 20.0, 20.0, 28.0],        # zero width -> zero output
+    ], np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        ours = roi_align(jnp.asarray(feat), jnp.asarray(boxes), scale,
+                         pooled=pooled, sampling_ratio=0)
+    theirs = _torch_roi_align_adaptive_ref(
+        torch.from_numpy(feat.transpose(2, 0, 1).copy()), boxes, scale,
+        pooled)
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 1, 2), theirs,
+        atol=1e-5, rtol=1e-5)
+    assert np.abs(np.asarray(ours)[5]).max() == 0.0
+
+    # beyond the static cap the grid saturates at ADAPTIVE_SR_MAX
+    # (documented divergence; unreachable at production image sizes)
+    from locov_tpu.ops.roi_align import ADAPTIVE_SR_MAX
+    huge = np.array([[0.0, 0.0, 512.0, 400.0]], np.float32)
+    with jax.default_matmul_precision("highest"):
+        ours_h = roi_align(jnp.asarray(feat), jnp.asarray(huge), scale,
+                           pooled=pooled, sampling_ratio=0)
+    theirs_h = _torch_roi_align_adaptive_ref(
+        torch.from_numpy(feat.transpose(2, 0, 1).copy()), huge, scale,
+        pooled, sr_cap=ADAPTIVE_SR_MAX)
+    np.testing.assert_allclose(
+        np.asarray(ours_h).transpose(0, 3, 1, 2), theirs_h,
+        atol=1e-5, rtol=1e-5)
+
+
 def test_roi_align_matches_torch_grid_sample():
     from locov_tpu.ops.roi_align import roi_align
 
