@@ -59,7 +59,9 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
     Returns keep: [B, N] bool (in the ORIGINAL order).
 
     classes [B, N] int (optional): suppression only acts within a
-    class (suppression masks are ANDed with class equality). This is
+    class (suppression masks are ANDed with class equality; in the
+    compacted stop_after path the survivor buffer carries a class slot
+    next to the box slots). This is
     how per-class NMS stays EXACT — torchvision's coordinate-offset
     trick loses float32 precision at offset scale (ulp(cls*span) ~
     5e-4 px flips near-threshold IoUs; observed on TPU at production
@@ -81,8 +83,6 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
         exact: every drop requires >= capacity >= stop_after prior
         insertions in that row.
     """
-    assert classes is None or stop_after == 0, \
-        "class-aware suppression is not wired into the stop_after path"
     bsz, n = scores.shape
     neg_inf = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(valid, scores, neg_inf)
@@ -165,11 +165,11 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
         slot = jnp.arange(cap)
 
         def cond(state):
-            i, active, surv, cnt = state
+            i, active, surv, scls, cnt = state
             return (i < num_tiles) & ~jnp.all(cnt >= stop_after)
 
         def body(state):
-            i, active, surv, cnt = state
+            i, active, surv, scls, cnt = state
             start = i * TILE
             tile_boxes = jax.lax.dynamic_slice_in_dim(
                 boxes_p, start, TILE, axis=1)
@@ -177,9 +177,19 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                 active, start, TILE, axis=1)
             iou_s = _pairwise_iou_b(tile_boxes, surv)  # [B, T, cap]
             in_buf = slot[None, None, :] < cnt[:, None, None]
-            sup = jnp.any((iou_s > iou_threshold) & in_buf, axis=2)
+            hit = (iou_s > iou_threshold) & in_buf
+            self_ok = jnp.ones((), bool)
+            if cls_p is not None:
+                # class slot next to the box slots: buffered classes
+                # are stored +1 so empty slots (0) never match
+                tile_cls = jax.lax.dynamic_slice_in_dim(
+                    cls_p, start, TILE, axis=1)
+                hit &= tile_cls[:, :, None] + 1 == scls[:, None, :]
+                self_ok = tile_cls[:, :, None] == tile_cls[:, None, :]
+            sup = jnp.any(hit, axis=2)
             iou_self = _pairwise_iou_b(tile_boxes, tile_boxes)
-            tile_alive = self_suppress(iou_self, tile_init & ~sup)
+            tile_alive = self_suppress(iou_self, tile_init & ~sup,
+                                       same_class=self_ok)
             # compact-insert this tile's survivors (slots are unique,
             # so the one-hot matmul accumulate writes each slot once)
             csum = jnp.cumsum(tile_alive.astype(jnp.int32), axis=1)
@@ -194,22 +204,27 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
                 "btc,btj->bcj", onehot.astype(boxes_p.dtype),
                 jnp.where(tile_alive[..., None], tile_boxes, 0.0),
                 precision=jax.lax.Precision.HIGHEST)
+            if cls_p is not None:
+                scls = scls + jnp.einsum(
+                    "btc,bt->bc", onehot.astype(jnp.int32),
+                    jnp.where(tile_alive, tile_cls + 1, 0))
             cnt = jnp.minimum(cnt + csum[:, -1], cap)
             active = jax.lax.dynamic_update_slice_in_dim(
                 active, tile_alive, start, axis=1)
-            return i + 1, active, surv, cnt
+            return i + 1, active, surv, scls, cnt
 
         # initial carries must inherit the device-varying type of the
         # sharded inputs: under shard_map a plain-zeros carry is
         # "unvarying" while the loop body's update is varying, which
         # ill-types the while_loop (shard_map varying-axes check; seen
         # as a hard abort from the trainer's pjit path)
+        vary_i = 0 * jnp.sum(valid_p, axis=1, dtype=jnp.int32)
         surv0 = jnp.zeros((bsz, cap, 4), boxes_p.dtype) \
             + 0.0 * boxes_p[:, :1]
-        cnt0 = jnp.zeros((bsz,), jnp.int32) \
-            + 0 * jnp.sum(valid_p, axis=1, dtype=jnp.int32)
-        i_stop, active, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), valid_p, surv0, cnt0))
+        scls0 = jnp.zeros((bsz, cap), jnp.int32) + vary_i[:, None]
+        cnt0 = jnp.zeros((bsz,), jnp.int32) + vary_i
+        i_stop, active, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), valid_p, surv0, scls0, cnt0))
         # everything past the stop point is reported suppressed
         active = active & (pos < i_stop * TILE)
     else:
@@ -238,13 +253,20 @@ def nms_topk_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
 
 
 def batched_nms_mask_batched(boxes, scores, classes, valid,
-                             iou_threshold: float) -> jnp.ndarray:
+                             iou_threshold: float,
+                             stop_after: int = 0) -> jnp.ndarray:
     """Per-class NMS, batched: suppression acts only within a class.
     boxes [B, N, 4], classes [B, N] int. Implemented by class-equality
     masking of the suppression matrices, NOT torchvision's
-    coordinate-offset trick — see ``nms_mask_batched``."""
+    coordinate-offset trick — see ``nms_mask_batched``.
+
+    stop_after > 0 enables the compacted O(N*stop_after) survivor
+    buffer + early tile stop; exact for consumers that only read the
+    global top-``stop_after`` surviving scores (survivors are decided
+    in score order across classes, so the first stop_after of them are
+    final before any buffer overflow can occur)."""
     return nms_mask_batched(boxes, scores, valid, iou_threshold,
-                            classes=classes)
+                            stop_after=stop_after, classes=classes)
 
 
 # ---------------------------------------------------------------- single

@@ -171,6 +171,62 @@ def test_nms_topk_compacted_buffer_exact(rng):
                 f"clustered={clustered} k={k} row={r}"
 
 
+def _per_class_greedy_ref(boxes, scores, classes, thresh):
+    """Ground truth for per-class NMS: greedy within each class."""
+    surv = []
+    for c in np.unique(classes):
+        m = np.nonzero(classes == c)[0]
+        surv += [int(m[i]) for i in
+                 _greedy_nms_ref(boxes[m], scores[m], thresh)]
+    return sorted(surv)
+
+
+def test_batched_nms_compacted_buffer_exact(rng):
+    """Class-aware compacted stop_after path (the fast_rcnn inference
+    path: thousands of candidates, per-class suppression, top-k
+    consumer). The returned top-k must match the per-class greedy
+    reference across sparse/clustered regimes and several tiles."""
+    for clustered, k, ncls in [(False, 16, 3), (True, 16, 3),
+                               (False, 100, 65), (True, 100, 65)]:
+        n = 1100  # 5 tiles -> compacted path
+        b1, s1 = _rand(rng, n, clustered=clustered)
+        b2, s2 = _rand(rng, n, clustered=not clustered)
+        boxes = np.stack([b1, b2])
+        scores = np.stack([s1, s2])
+        classes = rng.randint(0, ncls, size=(2, n))
+        valid = np.ones((2, n), bool)
+        keep = np.asarray(N.batched_nms_mask_batched(
+            jnp.array(boxes), jnp.array(scores), jnp.array(classes),
+            jnp.array(valid), 0.5, stop_after=k))
+        for r in range(2):
+            surv = _per_class_greedy_ref(boxes[r], scores[r],
+                                         classes[r], 0.5)
+            want = sorted(surv, key=lambda i: -scores[r][i])[:k]
+            kept_scores = np.where(keep[r], scores[r], -np.inf)
+            got = np.argsort(-kept_scores, kind="stable")[:k]
+            got = [int(i) for i in got if kept_scores[i] > -np.inf]
+            assert got == want, \
+                f"clustered={clustered} k={k} ncls={ncls} row={r}"
+
+
+def test_batched_nms_compacted_equals_full(rng):
+    """stop_after top-k == untruncated per-class NMS top-k."""
+    n, k = 900, 24
+    boxes, scores = _rand(rng, n)
+    classes = rng.randint(0, 5, size=n)
+    valid = np.ones(n, bool)
+    full = np.asarray(N.batched_nms_mask_batched(
+        jnp.array(boxes)[None], jnp.array(scores)[None],
+        jnp.array(classes)[None], jnp.array(valid)[None], 0.5))[0]
+    fast = np.asarray(N.batched_nms_mask_batched(
+        jnp.array(boxes)[None], jnp.array(scores)[None],
+        jnp.array(classes)[None], jnp.array(valid)[None], 0.5,
+        stop_after=k))[0]
+    topk = lambda m: np.argsort(-np.where(m, scores, -np.inf),
+                                kind="stable")[:k].tolist()
+    assert topk(fast) == topk(full)
+
+
 def test_nms_topk_early_stop_exact_across_tiles(rng):
     """stop_after: the tile sweep halts once every row has max_out
     survivors; the returned top-k must equal the untruncated NMS's

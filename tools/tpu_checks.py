@@ -123,6 +123,38 @@ def check_batched_nms():
           "; ".join(detail))
 
 
+def check_batched_nms_compacted():
+    """Class-aware compacted stop_after path at production coordinate
+    scale (the fast_rcnn inference configuration: 4096 candidates,
+    65 classes, top-100 consumer) — exactness of the returned top-k
+    on device, where f32 rounding of the survivor-buffer insert is the
+    failure mode CPU tests cannot see."""
+    from locov_tpu.ops import nms as N
+    rng = np.random.RandomState(7)
+    n, k, ncls = 4096, 100, 65
+    boxes = _boxes(rng, n)
+    scores = rng.rand(n).astype(np.float32)
+    classes = rng.randint(0, ncls, size=n)
+    keep = np.asarray(jax.jit(
+        lambda b, s, c: N.batched_nms_mask_batched(
+            b[None], s[None], c[None], jnp.ones((1, n), bool), 0.5,
+            stop_after=k)
+    )(jnp.asarray(boxes), jnp.asarray(scores),
+      jnp.asarray(classes)))[0]
+    surv = []
+    for c in np.unique(classes):
+        m = np.nonzero(classes == c)[0]
+        surv += [int(m[i]) for i in
+                 _greedy_ref(boxes[m], scores[m], 0.5)]
+    want = sorted(surv, key=lambda i: -scores[i])[:k]
+    kept_scores = np.where(keep, scores, -np.inf)
+    got = [int(i) for i in np.argsort(-kept_scores, kind="stable")[:k]
+           if kept_scores[i] > -np.inf]
+    check("class-aware compacted NMS top-k exact (TPU, 4096x65)",
+          got == want,
+          f"{len(set(got) ^ set(want))} symmetric-diff items")
+
+
 def check_pallas_pool():
     from flax import linen as nn
     from locov_tpu.ops.pallas_pool import relu_maxpool
@@ -193,6 +225,7 @@ def main():
     print(f"devices: {jax.devices()}")
     check_nms_topk()
     check_batched_nms()
+    check_batched_nms_compacted()
     check_pallas_pool()
     check_roi_align_precision()
     check_f32_stem_compiles()
