@@ -335,6 +335,9 @@ def get_default_cfg() -> CN:
     # formulation on v5e, exact same interpolation weights at bf16
     # feature precision; costs ~2 min extra Mosaic compile)
     _C.TPU.USE_PALLAS_ROIALIGN = False
+    # depth of the host->device input pipeline (DevicePrefetcher);
+    # 0 disables prefetch (batches transfer synchronously in run_step)
+    _C.TPU.PREFETCH_BATCHES = 2
     # BxB contrastive scope: "local" = per-device batch (reference DDP
     # parity); "global" = all-gathered global batch (stronger signal,
     # costlier transformer-head pass)

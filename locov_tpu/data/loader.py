@@ -10,7 +10,6 @@ few precompiled XLA programs.
 from __future__ import annotations
 
 import queue as queue_mod
-import threading
 from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
@@ -101,8 +100,18 @@ def _pad_rows(arr: np.ndarray, n: int, fill=0):
 
 def collate(records: List[dict], bucket, gt_slots: int,
             has_text: bool) -> DetectionBatch:
-    """Stack fixed-size records into one static DetectionBatch."""
-    images = np.stack([_pad_image(r["image"], bucket) for r in records])
+    """Stack fixed-size records into one static DetectionBatch.
+
+    Images land in ONE preallocated float32 buffer: the uint8->f32
+    cast, the pad-to-bucket and the batch stack fuse into a single
+    copy per record (the naive astype+pad+stack chain costs 3x the
+    memory traffic and dominated the host pipeline)."""
+    bh, bw = bucket
+    images = np.zeros((len(records), bh, bw, records[0]["image"].shape[2]),
+                      np.float32)
+    for i, r in enumerate(records):
+        h, w = r["image"].shape[:2]
+        images[i, :h, :w] = r["image"]  # assigns with cast in one pass
     hw = np.stack([r["hw"] for r in records])
     orig_hw = np.stack([r["orig_hw"] for r in records])
     image_id = np.stack([r["image_id"] for r in records])
@@ -199,27 +208,29 @@ class DataLoader:
 
 
 def _thread_map(fn, it, workers):
-    """Ordered parallel map over an iterator with a bounded queue."""
+    """Ordered parallel map over an iterator on a PERSISTENT worker
+    pool with a bounded in-flight window (workers * 4).
+
+    The JPEG decode + resize path releases the GIL inside libjpeg/PIL,
+    so threads scale for the mapper workload; a persistent pool avoids
+    the per-record thread spawn the first implementation paid
+    (~100 us + scheduler churn per record — at 100+ records/s that was
+    measurable pure overhead, tools/bench_loader.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     src = iter(it)
-    pending: "queue_mod.Queue" = queue_mod.Queue(maxsize=workers * 4)
-    stop = object()
-
-    def feeder():
+    depth = max(workers * 4, 1)
+    pool = ThreadPoolExecutor(max_workers=workers,
+                              thread_name_prefix="loader")
+    window: "queue_mod.Queue" = queue_mod.Queue()
+    try:
         for x in src:
-            slot = {"done": threading.Event(), "out": None}
-
-            def run(x=x, slot=slot):
-                slot["out"] = fn(x)
-                slot["done"].set()
-            t = threading.Thread(target=run, daemon=True)
-            t.start()
-            pending.put(slot)
-        pending.put(stop)
-
-    threading.Thread(target=feeder, daemon=True).start()
-    while True:
-        slot = pending.get()
-        if slot is stop:
-            return
-        slot["done"].wait()
-        yield slot["out"]
+            window.put(pool.submit(fn, x))
+            if window.qsize() >= depth:
+                yield window.get().result()
+        while not window.empty():
+            yield window.get().result()
+    finally:
+        while not window.empty():
+            window.get().cancel()
+        pool.shutdown(wait=False)

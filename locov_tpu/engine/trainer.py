@@ -13,6 +13,7 @@ the jitted step) and the NaN -> FloatingPointError tripwire
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 import time
@@ -31,7 +32,8 @@ from ..evaluation.evaluator import (inference_on_caption_dataset,
                                     inference_on_detection_dataset,
                                     select_evaluator_type)
 from ..models import build_meta_arch
-from ..parallel import (get_mesh, make_eval_step, make_loss_eval_step,
+from ..parallel import (DevicePrefetcher, get_mesh, make_eval_step,
+                        make_loss_eval_step,
                         make_train_step, shard_batch)
 from ..utils.checkpoint import (Checkpointer, STT_FROM_LSM_RENAME,
                                 convert_caffe2_resnet,
@@ -77,6 +79,12 @@ class OVRTrainer:
         self.tokenizer = build_tokenizer(cfg) if self.needs_text else None
         self.train_loader = self.build_train_loader(cfg)
         self._train_iter = iter(self.train_loader)
+        if cfg.TPU.PREFETCH_BATCHES > 0:
+            # host decode/collate + host->device copy overlap with the
+            # device step (one-batch-ahead pipeline)
+            self._train_iter = DevicePrefetcher(
+                self._train_iter, self.mesh,
+                depth=cfg.TPU.PREFETCH_BATCHES)
 
         # class embeddings for the TRAIN vocabulary (trainer.py:365-407)
         self.class_emb = self.load_embeddings(cfg.DATASETS.TRAIN[0])
@@ -221,10 +229,24 @@ class OVRTrainer:
             flat_src = flatten_params(src_params)
         same_arch = set(flat_src) == set(flat_dst)
         rename = {} if same_arch else STT_FROM_LSM_RENAME
-        merged, missing = load_with_rename_map(flat_src, flat_dst, rename)
-        logger.info("Loaded %d/%d params from %s%s",
-                    len(flat_dst) - len(missing), len(flat_dst), weights,
-                    "" if same_arch else " (stage-transfer rename map)")
+        merged, report = load_with_rename_map(flat_src, flat_dst, rename)
+        logger.info("Import from %s%s: %s", weights,
+                    "" if same_arch else " (stage-transfer rename map)",
+                    report.summary())
+        # persist the full import report — the day-1 parity runbook
+        # checks it before trusting any AP number (README)
+        self.last_import_report = report
+        try:
+            with open(os.path.join(self.cfg.OUTPUT_DIR,
+                                   "import_report.json"), "w") as f:
+                json.dump({"weights": weights,
+                           "loaded": report.loaded,
+                           "missing": report.missing,
+                           "mismatched": [list(m) for m in
+                                          report.mismatched],
+                           "unused_src": report.unused_src}, f, indent=1)
+        except OSError:
+            pass
         self.params = {**self.params, "params": unflatten_params(merged)}
 
     def load_projection_only(self, weights: str):

@@ -1,9 +1,9 @@
-from .mesh import (get_mesh, initialize_distributed, make_eval_step,
-                   make_loss_eval_step, make_train_step, replicated,
-                   batch_sharded, shard_batch)
+from .mesh import (DevicePrefetcher, get_mesh, initialize_distributed,
+                   make_eval_step, make_loss_eval_step, make_train_step,
+                   replicated, batch_sharded, shard_batch)
 
 __all__ = [
-    "get_mesh", "initialize_distributed", "make_eval_step",
-    "make_loss_eval_step", "make_train_step", "replicated",
-    "batch_sharded", "shard_batch",
+    "DevicePrefetcher", "get_mesh", "initialize_distributed",
+    "make_eval_step", "make_loss_eval_step", "make_train_step",
+    "replicated", "batch_sharded", "shard_batch",
 ]

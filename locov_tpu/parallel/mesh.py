@@ -56,6 +56,47 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         lambda x: jax.device_put(jnp.asarray(x), sharding), batch)
 
 
+class DevicePrefetcher:
+    """Host->device input pipelining: a background thread pulls host
+    batches from ``it`` and device-puts them with the batch sharding,
+    keeping up to ``depth`` batches in flight. The train loop's
+    ``next()`` then returns an already-transferred batch, so JPEG
+    decode + collate + host->device copy overlap with the device step
+    (the reference relies on torch DataLoader worker processes +
+    pinned-memory copies for the same overlap)."""
+
+    def __init__(self, it, mesh: Mesh, depth: int = 2,
+                 axis: str = "data"):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+        self._stop = object()
+
+        def worker():
+            try:
+                for batch in it:
+                    self._q.put(shard_batch(batch, mesh, axis))
+            except BaseException as e:  # surfaced on the consumer side
+                self._q.put(e)
+                return
+            self._q.put(self._stop)
+
+        self._thread = threading.Thread(target=worker, daemon=True,
+                                        name="device-prefetch")
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._stop:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+
 def make_train_step(model, optimizer, mesh: Mesh,
                     axis: str = "data",
                     contrastive_scope: str = "local") -> Callable:

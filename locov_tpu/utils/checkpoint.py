@@ -132,18 +132,45 @@ class Checkpointer:
 
 
 # ------------------------------------------------------- rename-map loading
+class ImportReport(list):
+    """Result report of a rename-map weight import.
+
+    Behaves as the list of dst keys left untouched (``missing``) for
+    backward compatibility; additionally carries the full surface the
+    day-1 parity runbook asserts on (README "Eval-only runbook"):
+    ``loaded`` dst keys that received a value, ``mismatched``
+    (dst_key, src_shape, dst_shape) skipped on shape, ``unused_src``
+    source keys that matched no destination."""
+
+    def __init__(self, missing, loaded, mismatched, unused_src):
+        super().__init__(missing)
+        self.missing = list(missing)
+        self.loaded = loaded
+        self.mismatched = mismatched
+        self.unused_src = unused_src
+
+    def summary(self) -> str:
+        return (f"loaded {len(self.loaded)}, missing "
+                f"{len(self.missing)}, shape-mismatched "
+                f"{len(self.mismatched)}, unused source keys "
+                f"{len(self.unused_src)}")
+
+
 def load_with_rename_map(flat_src: Dict[str, np.ndarray],
                          flat_dst: Dict[str, np.ndarray],
                          rename_map: Dict[str, List[str]],
                          strict_shapes: bool = True
-                         ) -> Tuple[Dict[str, np.ndarray], List[str]]:
+                         ) -> Tuple[Dict[str, np.ndarray], ImportReport]:
     """Copy src params into dst, fanning out renamed keys.
 
     rename_map maps a source PREFIX to a list of destination PREFIXES
-    (one-to-many, reference checkpoint.py:81-97). Returns (new flat dst,
-    list of dst keys left untouched)."""
+    (one-to-many, reference checkpoint.py:81-97). Returns (new flat
+    dst, ImportReport) — the report doubles as the legacy list of dst
+    keys left untouched."""
     out = dict(flat_dst)
     loaded = set()
+    mismatched = []
+    used_src = set()
     for sk, sv in flat_src.items():
         targets = [sk]
         for src_prefix, dst_prefixes in rename_map.items():
@@ -156,11 +183,15 @@ def load_with_rename_map(flat_src: Dict[str, np.ndarray],
                     out[tk] = np.asarray(sv).astype(out[tk].dtype) \
                         if hasattr(out[tk], "dtype") else sv
                     loaded.add(tk)
+                    used_src.add(sk)
                 elif strict_shapes:
+                    mismatched.append((tk, tuple(sv.shape),
+                                       tuple(out[tk].shape)))
                     print(f"[checkpoint] shape mismatch for {tk}: "
                           f"{sv.shape} vs {out[tk].shape}; skipped")
     missing = [k for k in out if k not in loaded]
-    return out, missing
+    unused = sorted(set(flat_src) - used_src)
+    return out, ImportReport(missing, sorted(loaded), mismatched, unused)
 
 
 # --------------------------------------------------------------- torch import

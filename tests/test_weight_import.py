@@ -117,7 +117,8 @@ def _fake_torch_lsm_state(nlayers_lang=2, nlayers_head=2, hidden=16,
 
 def _tiny_lsm_model():
     cfg = get_cfg()
-    cfg.merge_from_file("/root/reference/configs/coco_lsm.yaml")
+    from locov_tpu.config import config_path
+    cfg.merge_from_file(config_path("coco_lsm.yaml"))
     for node in (cfg.MODEL.LANGUAGE_BACKBONE.BERT_CONFIG,
                  cfg.MODEL.MMSS_HEAD.TRANSFORMER.BERT_CONFIG):
         node.vocab_size = 50
@@ -199,6 +200,36 @@ def test_lsm_torch_names_align_with_flax_tree():
                                         "roi_heads")
                  and k not in hits]
     assert not uncovered, f"live params never imported: {uncovered}"
+
+
+def test_import_report_non_regressing():
+    """The day-1 parity runbook (README) trusts the ImportReport before
+    any AP number: on the complete synthetic LSM surface the report
+    must show full coverage — zero missing dst params, zero shape
+    mismatches, and only the four documented tied/optional source keys
+    unused. Any regression here would silently corrupt a real
+    lsm_coco.pth / LocOV.pth ingestion."""
+    from locov_tpu.utils.checkpoint import load_with_rename_map
+
+    state = _fake_torch_lsm_state()
+    converted = convert_d2_state_dict(state)
+    params = _tiny_lsm_model()
+    flat_dst = flatten_params(params["params"])
+    merged, report = load_with_rename_map(converted, flat_dst, {})
+    assert report.missing == []
+    assert report.mismatched == []
+    assert set(report.unused_src) == {
+        # embeddings-only language backbone: LayerNorm never built
+        "language_backbone/bert_model/embeddings/norm/bias",
+        "language_backbone/bert_model/embeddings/norm/scale",
+        # TIE_VL_PROJECTION_WEIGHTS: emb_pred IS v2l_projection in our
+        # tree; the checkpoint's duplicate tensor lands under v2l
+        "roi_heads/box_predictor/emb_pred/bias",
+        "roi_heads/box_predictor/emb_pred/kernel",
+    }
+    assert len(report.loaded) == len(flat_dst)
+    # legacy list behavior: the report doubles as the missing list
+    assert list(report) == []
 
 
 def test_bare_hf_bert_conversion():
