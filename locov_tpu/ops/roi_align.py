@@ -177,25 +177,41 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
         ky = ky.astype(features.dtype)
         kx = kx.astype(features.dtype)
 
+    # this pass is HBM-bound: in fast ("default") mode, store the
+    # [B, n, Q, H, C] intermediate and the pooled output in bf16 (the
+    # MXU still accumulates each contraction in f32 internally; only
+    # the materialized buffers shrink). Measured on the STT eval
+    # workload (8 x 1000 boxes): f32 buffers cost ~2x the HBM traffic
+    # of the whole op.
+    io_dtype = jnp.float32 if precision == "highest" else features.dtype
+
     def do_chunk(k):
         ky_c, kx_c = k  # [B, chunk, P, dim]
         # contract W FIRST: the [B, n, Q, H, C] intermediate is H/W
         # (~40% on landscape buckets) smaller than the W-second form's
-        # [B, n, P, W, C], and stage 2 contracts the longer axis — this
-        # pass is HBM-bound, the intermediate dominates its traffic
+        # [B, n, P, W, C], and stage 2 contracts the longer axis
         t = jnp.einsum("bnqw,bhwc->bnqhc", kx_c, features,
-                       preferred_element_type=jnp.float32,
+                       preferred_element_type=io_dtype,
                        precision=prec)
         return jnp.einsum("bnqhc,bnph->bnpqc", t, ky_c,
-                          preferred_element_type=jnp.float32,
+                          preferred_element_type=io_dtype,
                           precision=prec)
 
     if nchunks == 1:
-        out = do_chunk((ky[0], kx[0]))[None]
+        out = do_chunk((ky[0], kx[0]))
+    elif nchunks <= 8:
+        # unrolled with a box-axis concatenate: lax.map stacks every
+        # chunk's [B, n, P, Q, C] output into a [nchunks, ...] carry
+        # via dynamic-update-slice and the subsequent moveaxis is a
+        # full transposed copy of the pooled tensor (~20% of the op on
+        # the 5-chunk eval workload); concatenating along the box axis
+        # writes each chunk straight into its final position
+        out = jnp.concatenate([do_chunk((ky[i], kx[i]))
+                               for i in range(nchunks)], axis=1)
     else:
-        out = jax.lax.map(do_chunk, (ky, kx))
-    out = jnp.moveaxis(out, 0, 1).reshape(b, nchunks * chunk, pooled,
-                                          pooled, features.shape[3])
+        out = jnp.moveaxis(jax.lax.map(do_chunk, (ky, kx)), 0, 1)
+        out = out.reshape(b, nchunks * chunk, pooled, pooled,
+                          features.shape[3])
     # ky/kx kept as [nchunks, B, chunk, P, dim] for the backward
     return out[:, :n].astype(features.dtype), (ky, kx)
 

@@ -89,10 +89,37 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace-dir", default=None,
                     help="parse an existing trace instead of running")
+    ap.add_argument("--mode", default="lsm_train",
+                    choices=["lsm_train", "stt_eval"])
     args = ap.parse_args()
 
     trace_dir = args.trace_dir
     nsteps = args.steps
+    if trace_dir is None and args.mode == "stt_eval":
+        import jax
+        from locov_tpu.utils.misc import compile_cache_dir
+        jax.config.update("jax_compilation_cache_dir",
+                          compile_cache_dir())
+        from bench import build_stt_eval
+        from locov_tpu.parallel import (get_mesh, make_eval_step,
+                                        shard_batch)
+        cfg, model, data, class_emb = build_stt_eval()
+        params = jax.jit(
+            lambda d, c: model.init(jax.random.PRNGKey(0), d, c,
+                                    method=model.inference)
+        )(data, class_emb)
+        mesh = get_mesh(jax.devices()[:1])
+        step = make_eval_step(model, mesh)
+        data = shard_batch(data, mesh)
+        for _ in range(3):
+            out = step(params, data, class_emb)
+        jax.block_until_ready(out)
+        trace_dir = tempfile.mkdtemp(prefix="stt_eval_trace_")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(nsteps):
+                out = step(params, data, class_emb)
+            jax.block_until_ready(out)
+        print(f"# trace: {trace_dir}", file=sys.stderr)
     if trace_dir is None:
         import jax
         from locov_tpu.utils.misc import compile_cache_dir
