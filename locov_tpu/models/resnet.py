@@ -104,10 +104,23 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
     wk = kern * scale
     cdt = dtype or wk.dtype
     pad = (kernel - 1) // 2
-    out = jax.lax.conv_general_dilated(
-        x.astype(cdt), wk.astype(cdt), (stride, stride),
-        [(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if kernel == 1:
+        # XLA conv forward + dot-formulated weight gradient (XLA's 1x1
+        # conv-wgrad is ~8x off a plain transposed dot at res5 shapes;
+        # a full-einsum 1x1 regressed EVAL via layout changes —
+        # ops/stem_conv.py:conv1x1)
+        from ..ops.stem_conv import conv1x1
+        out = conv1x1(x.astype(cdt), wk[0, 0].astype(cdt), stride)
+    elif kernel == 7 and stride == 2 and \
+            __import__("os").environ.get("LOCOV_S2D_STEM_WGRAD") == "1":
+        # stem conv: custom wgrad via space-to-depth (ops/stem_conv.py)
+        from ..ops.stem_conv import conv7x7s2
+        out = conv7x7s2(x.astype(cdt), wk.astype(cdt))
+    else:
+        out = jax.lax.conv_general_dilated(
+            x.astype(cdt), wk.astype(cdt), (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out = out + shift.astype(out.dtype)
     return nn.relu(out) if relu else out
 

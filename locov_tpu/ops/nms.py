@@ -22,7 +22,22 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-TILE = 256
+TILE = 256   # default suppression tile (see _pick_tile)
+
+
+def _pick_tile(stop_after: int) -> int:
+    """Tile size for the suppression sweep. The sweep is LATENCY-bound
+    (nested while loops; each trip costs fixed overhead), so large
+    stop_after targets want big tiles (fewer trips), while small ones
+    want small tiles: the compacted survivor buffer is padded to
+    stop_after + tile, so an oversized tile multiplies every tile's
+    [B, tile, cap] IoU block. Measured on the v5e (PERF.md round 3):
+    RPN train (12032 boxes, stop 2000): tile 512 beats 256 by ~0.5
+    img/s and 1024 regresses; STT eval at tile 512 regresses 54 -> 46
+    img/s on BOTH its sweeps (per-class, 4096 boxes stop 100, and RPN
+    6000 boxes stop 1000) — only the deep train-RPN sweep benefits."""
+    return 512 if stop_after >= 2000 else 256
+
 
 
 def _pairwise_iou_b(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -83,6 +98,7 @@ def nms_mask_batched(boxes: jnp.ndarray, scores: jnp.ndarray,
         exact: every drop requires >= capacity >= stop_after prior
         insertions in that row.
     """
+    TILE = _pick_tile(stop_after)
     bsz, n = scores.shape
     neg_inf = jnp.finfo(scores.dtype).min
     masked_scores = jnp.where(valid, scores, neg_inf)

@@ -27,7 +27,7 @@ window loop runs inside the kernel over a VMEM scratch so per-step
 temps stay small (a fully vectorized block formulation blew the 16 MB
 VMEM limit).
 
-Shape contract (asserted): H % 16 == 0 (= 2*BH output rows per grid
+Shape contract (asserted): H % BH == 0 (= BH/2 output rows per grid
 step) and W even — image buckets are /32-divisible so the stem's conv
 output here is /16. bf16 inputs only at production widths: the f32
 backward's scratch + blocks exceed the 16 MB VMEM limit (the stem

@@ -1,0 +1,34 @@
+"""conv7x7s2's space-to-depth weight gradient vs jax.grad of the plain
+conv (ops/stem_conv.py — identical contraction set, f32 accumulate)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from locov_tpu.ops.stem_conv import conv7x7s2, _conv
+
+
+def test_stem_conv_grads_match():
+    k = jax.random.PRNGKey(0)
+    kx, kw, kg = jax.random.split(k, 3)
+    x = jax.random.normal(kx, (2, 16, 20, 3))
+    w = jax.random.normal(kw, (7, 7, 3, 8)) * 0.1
+
+    out = conv7x7s2(x, w)
+    ref = _conv(x, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_custom(x, w):
+        y = conv7x7s2(x, w)
+        return jnp.sum(y * jnp.cos(y.shape[3] + 0.1 * y))
+
+    def loss_ref(x, w):
+        y = _conv(x, w)
+        return jnp.sum(y * jnp.cos(y.shape[3] + 0.1 * y))
+
+    gx, gw = jax.grad(loss_custom, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               rtol=1e-4, atol=1e-4)
