@@ -4,7 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from locov_tpu.ops.stem_conv import conv7x7s2, _conv
+from locov_tpu.ops.stem_conv import (conv1x1, conv7x7s2,
+                                     _conv, _conv1)
 
 
 def test_stem_conv_grads_match():
@@ -32,3 +33,22 @@ def test_stem_conv_grads_match():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_conv1x1_grads_match():
+    k = jax.random.PRNGKey(1)
+    kx, kw = jax.random.split(k)
+    x = jax.random.normal(kx, (2, 8, 10, 6))
+    w = jax.random.normal(kw, (6, 4)) * 0.1
+    for s in (1, 2):
+        f = lambda x, w: jnp.sum(jnp.sin(conv1x1(x, w, s)))
+        r = lambda x, w: jnp.sum(jnp.sin(_conv1(x, w, s)))
+        np.testing.assert_allclose(np.asarray(conv1x1(x, w, s)),
+                                   np.asarray(_conv1(x, w, s)),
+                                   rtol=1e-5, atol=1e-5)
+        gx, gw = jax.grad(f, (0, 1))(x, w)
+        rx, rw = jax.grad(r, (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-5, atol=1e-5)
