@@ -26,6 +26,18 @@ from .tokenization import WordPieceTokenizer, apply_mlm_masking
 
 
 def read_image(path: str, fmt: str = "BGR"):
+    """Decode an image file to HWC uint8. cv2 (libjpeg, GIL-free,
+    returns BGR directly — the detector's native channel order) with a
+    PIL fallback; both wrap the same libjpeg so pixels match."""
+    try:
+        import cv2
+        arr = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR
+        if arr is not None:
+            if fmt != "BGR":
+                arr = arr[:, :, ::-1]
+            return np.ascontiguousarray(arr)
+    except ImportError:
+        pass
     img = Image.open(path).convert("RGB")
     arr = np.asarray(img)
     if fmt == "BGR":
