@@ -149,3 +149,40 @@ def test_loader_finite_epoch_pads_with_sentinel(tmp_path, rng):
     assert len(real) == len(records)
     # partial batch padded with -1 sentinel
     assert (ids < 0).sum() == (2 - len(records) % 2) % 2
+
+
+def test_thread_map_ordered_and_propagates():
+    from locov_tpu.data.loader import _thread_map
+
+    out = list(_thread_map(lambda x: x * x, range(37), workers=4))
+    assert out == [i * i for i in range(37)]
+
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom")
+        return x
+
+    import pytest
+    with pytest.raises(ValueError, match="boom"):
+        list(_thread_map(boom, range(10), workers=3))
+
+
+def test_thread_map_infinite_iterator_window():
+    """The pool must keep a bounded in-flight window on an endless
+    source (training sampler) — pulling N results must not consume
+    unboundedly from the iterator."""
+    from itertools import count
+
+    from locov_tpu.data.loader import _thread_map
+
+    pulled = []
+
+    def src():
+        for i in count():
+            pulled.append(i)
+            yield i
+
+    it = _thread_map(lambda x: x, src(), workers=2)
+    got = [next(it) for _ in range(20)]
+    assert got == list(range(20))
+    assert len(pulled) <= 20 + 2 * 4 + 1  # window = workers * 4
