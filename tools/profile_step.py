@@ -72,12 +72,30 @@ def parse_trace(trace_dir: str):
         a = e.get("args", {})
         rows.append({
             "name": e.get("name", ""),
+            "ts": e.get("ts", 0.0),
             "dur": e.get("dur", 0),  # microseconds
             "source": a.get("source", ""),
             "tf_op": a.get("tf_op", ""),
             "category": a.get("hlo_category", ""),
             "shape": a.get("shape_with_layout", ""),
         })
+    # Control-flow wrappers (while/conditional) are emitted as events
+    # that CONTAIN their body ops in time, double-counting them (a
+    # while row once read 2x its body in the round-3 eval analysis).
+    # Convert every duration to EXCLUSIVE (self) time flame-graph
+    # style: subtract the time of events nested inside.
+    rows.sort(key=lambda r: (r["ts"], -r["dur"]))
+    stack = []
+    for r in rows:
+        r["self"] = r["dur"]
+        end = r["ts"] + r["dur"]
+        while stack and stack[-1][0] <= r["ts"]:
+            stack.pop()
+        if stack and end <= stack[-1][0] + 1e-3:
+            stack[-1][1]["self"] -= r["dur"]
+        stack.append((end, r))
+    for r in rows:
+        r["dur"] = max(r.pop("self"), 0)
     return rows
 
 
