@@ -104,11 +104,16 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
     wk = kern * scale
     cdt = dtype or wk.dtype
     pad = (kernel - 1) // 2
-    if kernel == 1:
-        # XLA conv forward + dot-formulated weight gradient (XLA's 1x1
-        # conv-wgrad is ~8x off a plain transposed dot at res5 shapes;
-        # a full-einsum 1x1 regressed EVAL via layout changes —
-        # ops/stem_conv.py:conv1x1)
+    if kernel == 1 and \
+            __import__("os").environ.get("LOCOV_DOT_1X1_WGRAD") == "1":
+        # XLA conv forward + dot-formulated weight gradient
+        # (ops/stem_conv.py:conv1x1). Opt-in: the wgrad dot is ~8x
+        # faster in isolation (fusion.107), but the full-step numbers
+        # came out NEUTRAL-to-negative in round 3 (31.9 vs 33.1 img/s,
+        # confounded with a pool block-size change the tunnel outage
+        # prevented isolating) while a full-einsum variant regressed
+        # EVAL 54 -> 46. The proven round-2 conv formulation stays the
+        # default until a clean A/B on hardware says otherwise.
         from ..ops.stem_conv import conv1x1
         out = conv1x1(x.astype(cdt), wk[0, 0].astype(cdt), stride)
     elif kernel == 7 and stride == 2 and \

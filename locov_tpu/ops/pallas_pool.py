@@ -42,13 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH = 8   # input rows per grid step (BH/2 output rows). 16 was the
-         # round-2 value; with the round-3 conv custom-VJPs the
-         # surrounding layouts shifted and a BH=16 backward compile
-         # was observed 92 KB over the 16 MB scoped-VMEM limit in one
-         # combination — 8 is proven to compile and run with the
-         # final round-3 stack (the fwd/bwd kernels are VMEM-resident
-         # either way; the grid just takes 2x the steps)
+BH = 16  # input rows per grid step (BH/2 output rows). NB: one
+         # round-3 combination (s2d stem custom-VJP active) pushed the
+         # BH=16 backward compile 92 KB over the 16 MB scoped-VMEM
+         # limit; with the default conv formulation (round-2 layouts)
+         # 16 compiles and is the measured-fastest value. Drop to 8 if
+         # a custom conv VJP is enabled and the compile OOMs.
 
 _NEG = -1e30  # "-inf" pad that survives bf16 casts; relu outputs are >= 0
 
