@@ -215,7 +215,20 @@ if __name__ == "__main__":
     if "--mode" in args:
         i = args.index("--mode")
         mode = args[i + 1] if i + 1 < len(args) else None
-    if mode == "stt_eval":
-        run_stt_eval()
-    else:
-        main()  # default: ONE json line, LSM train throughput
+    try:
+        if mode == "stt_eval":
+            run_stt_eval()
+        else:
+            main()  # default: ONE json line, LSM train throughput
+    except BaseException as e:  # noqa: BLE001 — the contract is ONE
+        # JSON line no matter what; a compile/tunnel failure must be
+        # recorded, not vanish (the TPU dev tunnel dropped mid-round-3
+        # and a bare crash leaves the driver with nothing)
+        print(json.dumps({
+            "metric": ("stt_eval_images_per_sec_per_chip"
+                       if mode == "stt_eval"
+                       else "lsm_train_images_per_sec_per_chip"),
+            "value": 0.0, "unit": "img/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:400],
+        }))
+        raise SystemExit(1)
