@@ -107,18 +107,18 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
     if kernel == 1 and \
             __import__("os").environ.get("LOCOV_DOT_1X1_WGRAD") == "1":
         # XLA conv forward + dot-formulated weight gradient
-        # (ops/stem_conv.py:conv1x1). Opt-in: the wgrad dot is ~8x
-        # faster in isolation (fusion.107), but the full-step numbers
-        # came out NEUTRAL-to-negative in round 3 (31.9 vs 33.1 img/s,
-        # confounded with a pool block-size change the tunnel outage
-        # prevented isolating) while a full-einsum variant regressed
-        # EVAL 54 -> 46. The proven round-2 conv formulation stays the
-        # default until a clean A/B on hardware says otherwise.
+        # (ops/stem_conv.py:conv1x1). MEASURED DEAD END (clean same-
+        # session A/B, late round 3): 32.24 vs 32.57 img/s default —
+        # the wgrad dot is ~8x faster in isolation (fusion.107) but
+        # loses in the full step; a full-einsum variant also regressed
+        # EVAL 54 -> 46. Kept only as recorded evidence (PERF.md).
         from ..ops.stem_conv import conv1x1
         out = conv1x1(x.astype(cdt), wk[0, 0].astype(cdt), stride)
     elif kernel == 7 and stride == 2 and \
             __import__("os").environ.get("LOCOV_S2D_STEM_WGRAD") == "1":
         # stem conv: custom wgrad via space-to-depth (ops/stem_conv.py)
+        # MEASURED DEAD END (clean A/B, late round 3): 25.88 vs 32.57
+        # img/s (with the required LOCOV_POOL_BH=8). Evidence only.
         from ..ops.stem_conv import conv7x7s2
         out = conv7x7s2(x.astype(cdt), wk.astype(cdt))
     else:

@@ -42,12 +42,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BH = 16  # input rows per grid step (BH/2 output rows). NB: one
-         # round-3 combination (s2d stem custom-VJP active) pushed the
-         # BH=16 backward compile 92 KB over the 16 MB scoped-VMEM
-         # limit; with the default conv formulation (round-2 layouts)
-         # 16 compiles and is the measured-fastest value. Drop to 8 if
-         # a custom conv VJP is enabled and the compile OOMs.
+# Input rows per grid step (BH/2 output rows). NB: one round-3
+# combination (s2d stem custom-VJP active) pushed the BH=16 backward
+# compile 92 KB over the 16 MB scoped-VMEM limit; with the default
+# conv formulation (round-2 layouts) 16 compiles and is the
+# measured-fastest value. LOCOV_POOL_BH=8 drops it when a custom conv
+# VJP is enabled and the compile OOMs (the stem gate asserts H % BH).
+BH = int(__import__("os").environ.get("LOCOV_POOL_BH", "16"))
 
 _NEG = -1e30  # "-inf" pad that survives bf16 casts; relu outputs are >= 0
 
