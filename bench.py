@@ -83,6 +83,9 @@ def build_stt_eval(batch=8, height=800, width=1344):
     cfg.merge_from_file(config_path("coco_stt.yaml"))
     cfg.MODEL.WEIGHTS = ""
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    import os
+    if os.environ.get("LOCOV_INT8_EVAL") == "1":
+        cfg.TPU.INT8_EVAL = True
     model = build_meta_arch(cfg)
 
     rng = np.random.RandomState(0)

@@ -335,6 +335,12 @@ def get_default_cfg() -> CN:
     # formulation on v5e, exact same interpolation weights at bf16
     # feature precision; costs ~2 min extra Mosaic compile)
     _C.TPU.USE_PALLAS_ROIALIGN = False
+    # opt-in int8 serving mode: trunk (res2-res4) + res5 convs run
+    # int8 x int8 -> int32 on the MXU at inference (dynamic per-tensor
+    # activation scales, per-channel BN-folded weight scales —
+    # ops/int8_conv.py). Training is untouched. Validate AP on real
+    # data before production use.
+    _C.TPU.INT8_EVAL = False
     # depth of the host->device input pipeline (DevicePrefetcher);
     # 0 disables prefetch (batches transfer synchronously in run_step)
     _C.TPU.PREFETCH_BATCHES = 2

@@ -49,6 +49,10 @@ class OvrRCNN(nn.Module):
     remat_backbone: bool = False
     freeze_at: int = 0
     use_rpn: bool = True
+    # TPU.INT8_EVAL: opt-in int8 serving mode — trunk (res2-res4) and
+    # res5 convs quantize per forward (ops/int8_conv.py). Inference
+    # only; the training path is untouched.
+    int8_eval: bool = False
 
     @classmethod
     def from_cfg(cls, cfg, **overrides):
@@ -71,7 +75,8 @@ class OvrRCNN(nn.Module):
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
-                     != 'PrecomputedProposals'))
+                     != 'PrecomputedProposals'),
+            int8_eval=cfg.TPU.INT8_EVAL)
         kw.update(overrides)
         return cls(**kw)
 
@@ -158,7 +163,7 @@ class OvrRCNN(nn.Module):
                   class_emb: jnp.ndarray) -> Detections:
         images = batch.images
         x = self.preprocess(images)
-        features = self.backbone(x)["res4"]
+        features = self.backbone(x, int8=self.int8_eval)["res4"]
 
         if self.use_rpn:
             anchors, logits, deltas = self.run_rpn(features, images, False)
@@ -169,7 +174,8 @@ class OvrRCNN(nn.Module):
             assert batch.proposals is not None
             proposals = batch.proposals
 
-        box_feats = self.roi_heads.roi_features(features, proposals.boxes)
+        box_feats = self.roi_heads.roi_features(features, proposals.boxes,
+                                                int8=self.int8_eval)
         scores, deltas2 = self.roi_heads.predict(
             box_feats.astype(jnp.float32), class_emb)
         dets = fast_rcnn_inference_batched(

@@ -81,7 +81,7 @@ class _BNParams(nn.Module):
 
 
 def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
-                    relu=True, eps=1e-5):
+                    relu=True, eps=1e-5, int8=False):
     """conv + FrozenBN + (relu), with the BN affine folded into the
     conv kernel: ``conv(x, w) * s + t == conv(x, w * s) + t``.
 
@@ -104,6 +104,15 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
     wk = kern * scale
     cdt = dtype or wk.dtype
     pad = (kernel - 1) // 2
+    if int8:
+        # opt-in int8 serving path (TPU.INT8_EVAL): dynamic per-tensor
+        # activation scale, per-channel weight scale on the BN-FOLDED
+        # kernel (ops/int8_conv.py). Inference-only — the callers gate
+        # this off every training path.
+        from ..ops.int8_conv import conv_int8
+        out = conv_int8(x.astype(cdt), wk, stride, pad, out_dtype=cdt)
+        out = out + shift.astype(out.dtype)
+        return nn.relu(out) if relu else out
     if kernel == 1 and \
             __import__("os").environ.get("LOCOV_DOT_1X1_WGRAD") == "1":
         # XLA conv forward + dot-formulated weight gradient
@@ -141,20 +150,20 @@ class BottleneckBlock(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, int8=False):
         s1 = self.stride if self.stride_in_1x1 else 1
         s3 = 1 if self.stride_in_1x1 else self.stride
         dt = self.compute_dtype
 
         out = _conv_frozen_bn(x, self.bottleneck_channels, 1, s1,
-                              "conv1", dt)
+                              "conv1", dt, int8=int8)
         out = _conv_frozen_bn(out, self.bottleneck_channels, 3, s3,
-                              "conv2", dt)
+                              "conv2", dt, int8=int8)
         out = _conv_frozen_bn(out, self.out_channels, 1, 1, "conv3", dt,
-                              relu=False)
+                              relu=False, int8=int8)
         if self.has_shortcut:
             sc = _conv_frozen_bn(x, self.out_channels, 1, self.stride,
-                                 "shortcut", dt, relu=False)
+                                 "shortcut", dt, relu=False, int8=int8)
         else:
             sc = x
         return nn.relu(out + sc)
@@ -170,7 +179,7 @@ class ResNetStage(nn.Module):
     compute_dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, int8=False):
         for i in range(self.num_blocks):
             x = BottleneckBlock(
                 bottleneck_channels=self.bottleneck_channels,
@@ -179,7 +188,7 @@ class ResNetStage(nn.Module):
                 stride_in_1x1=self.stride_in_1x1,
                 has_shortcut=(i == 0),
                 compute_dtype=self.compute_dtype,
-                name=str(i))(x)
+                name=str(i))(x, int8=int8)
         return x
 
 
@@ -242,10 +251,13 @@ class ResNetC4(nn.Module):
     freeze_at: int = 0
 
     @nn.compact
-    def __call__(self, x) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, int8=False) -> Dict[str, jnp.ndarray]:
         x = x.astype(self.compute_dtype)
         stages = R50_STAGES if self.depth == 50 else R101_STAGES
         outputs = {}
+        # the stem stays bf16 even under int8: its 3-channel 7x7 conv
+        # is shape-pathological on the MXU (PERF.md dead-end log) and
+        # int8 can't fix the lane padding; the win lives in res2-res5
         x = ResNetStem(self.stem_out_channels,
                        compute_dtype=self.compute_dtype, name="stem")(x)
         if self.freeze_at >= 1:
@@ -254,16 +266,21 @@ class ResNetC4(nn.Module):
             outputs["stem"] = x
         last = max((s for s in self.out_features if s != "stem"),
                    key=lambda s: STAGE_STRIDES[s])
-        stage_cls = nn.remat(ResNetStage) if self.remat else ResNetStage
+        # int8 is inference-only (no backward), so remat — whose lifted
+        # transform would trace the python flag — is bypassed there;
+        # the flag is only ever passed as a kwarg OUTSIDE remat
+        stage_cls = ResNetStage if (int8 or not self.remat) \
+            else nn.remat(ResNetStage)
         for stage in ["res2", "res3", "res4", "res5"]:
             nblocks, stride = stages[stage]
             bc, oc = STAGE_CHANNELS[stage]
             bc = bc * self.num_groups * self.width_per_group // 64
             oc = oc * self.res2_out_channels // 256
-            x = stage_cls(nblocks, bc, oc, first_stride=stride,
-                          stride_in_1x1=self.stride_in_1x1,
-                          compute_dtype=self.compute_dtype,
-                          name=stage)(x)
+            mod = stage_cls(nblocks, bc, oc, first_stride=stride,
+                            stride_in_1x1=self.stride_in_1x1,
+                            compute_dtype=self.compute_dtype,
+                            name=stage)
+            x = mod(x, int8=True) if int8 else mod(x)
             if self.freeze_at >= int(stage[3]):
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_features:

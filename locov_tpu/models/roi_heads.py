@@ -141,8 +141,8 @@ class Res5ROIHeads(nn.Module):
         else:
             self.box_predictor = EmbeddingBoxPredictor(self.pcfg)
 
-    def roi_features(self, features: jnp.ndarray, boxes: jnp.ndarray
-                     ) -> jnp.ndarray:
+    def roi_features(self, features: jnp.ndarray, boxes: jnp.ndarray,
+                     int8: bool = False) -> jnp.ndarray:
         """ROIAlign + res5 + global mean pool.
         features: [B, H, W, C]; boxes: [B, S, 4] -> [B, S, 2048]."""
         b, s = boxes.shape[:2]
@@ -164,7 +164,7 @@ class Res5ROIHeads(nn.Module):
                 sampling_ratio=self.rcfg.pooler_sampling_ratio,
                 precision=prec)
         pooled = pooled.reshape((b * s,) + pooled.shape[2:])
-        out = self.res5(pooled)
+        out = self.res5(pooled, int8=int8)
         out = out.mean(axis=(1, 2))
         return out.reshape(b, s, -1)
 

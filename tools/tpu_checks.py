@@ -221,6 +221,39 @@ def check_f32_stem_compiles():
     check("f32 stem train path compiles on TPU", ok)
 
 
+def check_int8_conv():
+    """int8 conv lowers on TPU and matches the integer-exact host
+    reference to f32-dequant rounding (the accumulation is int32 on
+    both sides — any larger deviation means the MXU path changed the
+    math, e.g. silently truncated the accumulator)."""
+    from locov_tpu.ops.int8_conv import conv_int8
+    rng = np.random.RandomState(11)
+    x = rng.randn(2, 14, 14, 64).astype(np.float32)
+    w = (rng.randn(3, 3, 64, 32) * rng.rand(32) ** 2).astype(np.float32)
+    try:
+        got = np.asarray(jax.jit(
+            lambda a, b: conv_int8(a, b, 1, 1))(jnp.asarray(x),
+                                                jnp.asarray(w)))
+    except Exception as e:  # noqa: BLE001 — report, don't crash
+        check("int8 conv lowers + exact on TPU", False, repr(e)[:160])
+        return
+    # host reference with the same quant scheme, exact int math
+    sx = max(np.abs(x).max() / 127.0, 1e-12)
+    xq = np.clip(np.round(x / sx), -127, 127).astype(np.int64)
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)) / 127.0, 1e-12)
+    wq = np.clip(np.round(w / sw), -127, 127).astype(np.int64)
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want = np.zeros(got.shape, np.int64)
+    for i in range(got.shape[1]):
+        for j in range(got.shape[2]):
+            want[:, i, j, :] = np.einsum(
+                "bklc,klco->bo", xp[:, i:i + 3, j:j + 3, :], wq)
+    want = want.astype(np.float32) * (sx * sw)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    check("int8 conv lowers + exact on TPU", rel < 1e-6,
+          f"max rel {rel:.2e}")
+
+
 def main():
     print(f"devices: {jax.devices()}")
     check_nms_topk()
@@ -229,6 +262,7 @@ def main():
     check_pallas_pool()
     check_roi_align_precision()
     check_f32_stem_compiles()
+    check_int8_conv()
     n = len(FAILED)
     print(f"\n{'ALL CHECKS PASSED' if n == 0 else f'{n} CHECK(S) FAILED: {FAILED}'}")
     sys.exit(1 if n else 0)
