@@ -86,6 +86,8 @@ def build_stt_eval(batch=8, height=800, width=1344):
     import os
     if os.environ.get("LOCOV_INT8_EVAL") == "1":
         cfg.TPU.INT8_EVAL = True
+        cfg.TPU.INT8_SCHEME = os.environ.get("LOCOV_INT8_SCHEME",
+                                             "dynamic")
     model = build_meta_arch(cfg)
 
     rng = np.random.RandomState(0)
@@ -120,6 +122,15 @@ def run_stt_eval():
         lambda d, c: model.init(jax.random.PRNGKey(0), d, c,
                                 method=model.inference)
     )(data, class_emb)
+    if cfg.TPU.INT8_EVAL and cfg.TPU.INT8_SCHEME == "static":
+        # one calibration pass over the (synthetic) batch fills the
+        # quant collection with activation maxima
+        _, upd = jax.jit(
+            lambda p, d, c: model.apply(p, d, c,
+                                        method=model.calibrate_int8,
+                                        mutable=["quant"])
+        )(params, data, class_emb)
+        params = {**params, **upd}
     mesh = get_mesh(jax.devices()[:1])
     step = make_eval_step(model, mesh)
     data = shard_batch(data, mesh)

@@ -341,6 +341,12 @@ def get_default_cfg() -> CN:
     # ops/int8_conv.py). Training is untouched. Validate AP on real
     # data before production use.
     _C.TPU.INT8_EVAL = False
+    # activation-scale scheme for INT8_EVAL: "dynamic" computes
+    # per-tensor maxima on the fly (data-free but measured SLOWER than
+    # bf16 at production sizes — PERF.md); "static" uses maxima
+    # calibrated by OvrRCNN.calibrate_int8 (mutable "quant"
+    # collection), letting the quantize fuse into producer epilogues
+    _C.TPU.INT8_SCHEME = "dynamic"
     # depth of the host->device input pipeline (DevicePrefetcher);
     # 0 disables prefetch (batches transfer synchronously in run_step)
     _C.TPU.PREFETCH_BATCHES = 2

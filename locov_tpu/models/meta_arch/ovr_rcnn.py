@@ -51,8 +51,12 @@ class OvrRCNN(nn.Module):
     use_rpn: bool = True
     # TPU.INT8_EVAL: opt-in int8 serving mode — trunk (res2-res4) and
     # res5 convs quantize per forward (ops/int8_conv.py). Inference
-    # only; the training path is untouched.
+    # only; the training path is untouched. TPU.INT8_SCHEME picks the
+    # activation-scale scheme: "dynamic" (data-free, measured slower —
+    # PERF.md) or "static" (calibrated via ``calibrate_int8`` with
+    # ``mutable=["quant"]`` on a few batches first).
     int8_eval: bool = False
+    int8_scheme: str = "dynamic"
 
     @classmethod
     def from_cfg(cls, cfg, **overrides):
@@ -76,7 +80,8 @@ class OvrRCNN(nn.Module):
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
                      != 'PrecomputedProposals'),
-            int8_eval=cfg.TPU.INT8_EVAL)
+            int8_eval=cfg.TPU.INT8_EVAL,
+            int8_scheme=cfg.TPU.INT8_SCHEME)
         kw.update(overrides)
         return cls(**kw)
 
@@ -159,11 +164,28 @@ class OvrRCNN(nn.Module):
         return losses
 
     # ------------------------------------------------------------ inference
+    def _int8_mode(self):
+        return self.int8_scheme if self.int8_eval else False
+
     def inference(self, batch: DetectionBatch,
                   class_emb: jnp.ndarray) -> Detections:
+        return self._inference(batch, class_emb, self._int8_mode())
+
+    def calibrate_int8(self, batch: DetectionBatch,
+                       class_emb: jnp.ndarray) -> Detections:
+        """One calibration pass for the static int8 scheme: records
+        running per-conv activation maxima into the ``quant``
+        collection. Call via ``model.apply(vars, batch, class_emb,
+        method=model.calibrate_int8, mutable=["quant"])`` on a few
+        representative batches, then run ``inference`` with the
+        updated variables."""
+        return self._inference(batch, class_emb, "calibrate")
+
+    def _inference(self, batch: DetectionBatch, class_emb: jnp.ndarray,
+                   int8_mode) -> Detections:
         images = batch.images
         x = self.preprocess(images)
-        features = self.backbone(x, int8=self.int8_eval)["res4"]
+        features = self.backbone(x, int8=int8_mode)["res4"]
 
         if self.use_rpn:
             anchors, logits, deltas = self.run_rpn(features, images, False)
@@ -175,7 +197,7 @@ class OvrRCNN(nn.Module):
             proposals = batch.proposals
 
         box_feats = self.roi_heads.roi_features(features, proposals.boxes,
-                                                int8=self.int8_eval)
+                                                int8=int8_mode)
         scores, deltas2 = self.roi_heads.predict(
             box_feats.astype(jnp.float32), class_emb)
         dets = fast_rcnn_inference_batched(

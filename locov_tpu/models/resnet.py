@@ -80,6 +80,17 @@ class _BNParams(nn.Module):
                 self.param("running_var", nn.initializers.ones, f))
 
 
+class _ActAmax(nn.Module):
+    """Calibrated activation max-abs for the static int8 scheme, in
+    its own ``quant`` collection (so checkpoints' ``params`` surface
+    is untouched; orbax serializes extra collections transparently)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.variable("quant", "amax",
+                             lambda: jnp.zeros((), jnp.float32))
+
+
 def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
                     relu=True, eps=1e-5, int8=False):
     """conv + FrozenBN + (relu), with the BN affine folded into the
@@ -105,12 +116,28 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
     cdt = dtype or wk.dtype
     pad = (kernel - 1) // 2
     if int8:
-        # opt-in int8 serving path (TPU.INT8_EVAL): dynamic per-tensor
-        # activation scale, per-channel weight scale on the BN-FOLDED
-        # kernel (ops/int8_conv.py). Inference-only — the callers gate
-        # this off every training path.
+        # opt-in int8 serving path (TPU.INT8_EVAL): per-channel weight
+        # scale on the BN-FOLDED kernel; activation scale per mode
+        # (ops/int8_conv.py). Inference-only — the callers gate this
+        # off every training path. Modes:
+        #   True/"dynamic" — per-tensor max computed on the fly
+        #     (measured a net LOSS at production sizes: the reduce +
+        #     unfused quantize passes outweigh the MXU win, PERF.md)
+        #   "calibrate"   — dynamic, AND records the running max into
+        #     the mutable "quant" collection (apply with
+        #     mutable=["quant"])
+        #   "static"      — uses the calibrated max: no reduce, and
+        #     the quantize fuses into the producer epilogue
         from ..ops.int8_conv import conv_int8
-        out = conv_int8(x.astype(cdt), wk, stride, pad, out_dtype=cdt)
+        amax = None
+        if int8 in ("static", "calibrate"):
+            var = _ActAmax(name=name + "_amax")()
+            if int8 == "calibrate":
+                cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                var.value = jnp.maximum(var.value, cur)
+            amax = var.value
+        out = conv_int8(x.astype(cdt), wk, stride, pad, out_dtype=cdt,
+                        amax=amax)
         out = out + shift.astype(out.dtype)
         return nn.relu(out) if relu else out
     if kernel == 1 and \
@@ -280,7 +307,7 @@ class ResNetC4(nn.Module):
                             stride_in_1x1=self.stride_in_1x1,
                             compute_dtype=self.compute_dtype,
                             name=stage)
-            x = mod(x, int8=True) if int8 else mod(x)
+            x = mod(x, int8=int8) if int8 else mod(x)
             if self.freeze_at >= int(stage[3]):
                 x = jax.lax.stop_gradient(x)
             if stage in self.out_features:

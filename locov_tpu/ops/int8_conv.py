@@ -55,19 +55,40 @@ def quantize_weight_per_channel(w: jnp.ndarray):
     return q.astype(jnp.int8), scale
 
 
+def quantize_per_tensor_static(x: jnp.ndarray, amax: jnp.ndarray):
+    """Symmetric int8 quantization with a precomputed (calibrated)
+    max-abs. No reduce over ``x`` — the whole point: XLA can fuse the
+    round/clip/cast into the producer's epilogue so the tensor is
+    written once, as int8 (half the bytes of bf16). Values beyond the
+    calibrated range saturate."""
+    scale = jnp.maximum(amax.astype(jnp.float32) / _QMAX, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
+    return q.astype(jnp.int8), scale
+
+
+def _int8_conv_core(xq, wq, stride, pad):
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
 def conv_int8(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
-              out_dtype=None) -> jnp.ndarray:
+              out_dtype=None, amax=None) -> jnp.ndarray:
     """NHWC x HWIO conv computed in int8 with int32 accumulation.
 
     ``x`` float [B,H,W,C]; ``w`` float [k,k,I,O] (FrozenBN-folded).
     Output is float (``out_dtype`` or ``x.dtype``), dequantized by the
-    dynamic activation scale times the per-channel weight scales.
+    activation scale times the per-channel weight scales. With
+    ``amax`` (a calibrated scalar) the activation scale is static —
+    the fast scheme; without, it is computed on the fly (dynamic —
+    measured a net LOSS at production activation sizes, PERF.md).
     """
-    xq, sx = quantize_per_tensor(x)
+    if amax is None:
+        xq, sx = quantize_per_tensor(x)
+    else:
+        xq, sx = quantize_per_tensor_static(x, amax)
     wq, sw = quantize_weight_per_channel(w)
-    acc = jax.lax.conv_general_dilated(
-        xq, wq, (stride, stride), [(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
+    acc = _int8_conv_core(xq, wq, stride, pad)
     out = acc.astype(jnp.float32) * (sx * sw)
     return out.astype(out_dtype or x.dtype)

@@ -100,6 +100,52 @@ def tiny_stt():
     return cfg, batch, class_emb, build_meta_arch
 
 
+def test_conv_int8_static_matches_dynamic_with_true_amax(rng):
+    # with amax = the tensor's true max, the static path must produce
+    # exactly the dynamic path's result (same scale, same int math)
+    x = rng.randn(2, 8, 8, 6).astype(np.float32)
+    w = rng.randn(3, 3, 6, 4).astype(np.float32)
+    amax = jnp.asarray(np.abs(x).max(), jnp.float32)
+    dyn = np.asarray(conv_int8(jnp.asarray(x), jnp.asarray(w), 1, 1))
+    sta = np.asarray(conv_int8(jnp.asarray(x), jnp.asarray(w), 1, 1,
+                               amax=amax))
+    np.testing.assert_array_equal(dyn, sta)
+
+
+def test_int8_static_calibrate_flow(tiny_stt):
+    """init(static) -> calibrate(mutable quant) -> inference must equal
+    the dynamic scheme on the calibration batch (running maxima start
+    at zero, so after one pass every static scale equals the dynamic
+    one), and the quant collection must be populated."""
+    cfg, batch, class_emb, build = tiny_stt
+    key = jax.random.PRNGKey(0)
+
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_SCHEME = "dynamic"
+    mdyn = build(cfg)
+    pdyn = mdyn.init(key, batch, class_emb, method=mdyn.inference)
+    dets_dyn = mdyn.apply(pdyn, batch, class_emb, method=mdyn.inference)
+
+    cfg.TPU.INT8_SCHEME = "static"
+    msta = build(cfg)
+    vs = msta.init(key, batch, class_emb, method=msta.inference)
+    assert "quant" in vs
+    _, upd = msta.apply(vs, batch, class_emb,
+                        method=msta.calibrate_int8, mutable=["quant"])
+    amaxes = jax.tree_util.tree_leaves(upd["quant"])
+    assert all(float(a) > 0 for a in amaxes)
+    vs = {**vs, **upd}
+    dets_sta = msta.apply(vs, batch, class_emb, method=msta.inference)
+    np.testing.assert_allclose(np.asarray(dets_sta.scores),
+                               np.asarray(dets_dyn.scores),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dets_sta.boxes),
+                               np.asarray(dets_dyn.boxes),
+                               rtol=1e-5, atol=1e-4)
+    cfg.TPU.INT8_EVAL = False  # restore for other tests
+    cfg.TPU.INT8_SCHEME = "dynamic"
+
+
 def test_int8_eval_end_to_end(tiny_stt):
     cfg, batch, class_emb, build = tiny_stt
     key = jax.random.PRNGKey(0)
