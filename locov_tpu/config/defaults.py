@@ -347,6 +347,11 @@ def get_default_cfg() -> CN:
     # calibrated by OvrRCNN.calibrate_int8 (mutable "quant"
     # collection), letting the quantize fuse into producer epilogues
     _C.TPU.INT8_SCHEME = "dynamic"
+    # batches of the test loader used to calibrate the static scheme's
+    # activation maxima (OVRTrainer calibrates automatically before the
+    # first eval pass; the quant collection then persists in params and
+    # checkpoints)
+    _C.TPU.INT8_CALIB_BATCHES = 4
     # depth of the host->device input pipeline (DevicePrefetcher);
     # 0 disables prefetch (batches transfer synchronously in run_step)
     _C.TPU.PREFETCH_BATCHES = 2

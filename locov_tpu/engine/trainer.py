@@ -436,6 +436,32 @@ class OVRTrainer:
                 metric_key, value)
         return results
 
+    def _maybe_calibrate_int8(self, cfg, dataset_name, class_emb):
+        """Static int8 serving (TPU.INT8_SCHEME='static'): before the
+        first inference pass, run ``calibrate_int8`` over a few batches
+        to fill the ``quant`` collection with per-conv activation
+        maxima (PERF.md: static scales are the winning scheme; dynamic
+        ones lose to unfused quantize traffic). The collection merges
+        into ``self.params`` and thus persists through checkpoints."""
+        if not (cfg.TPU.INT8_EVAL and cfg.TPU.INT8_SCHEME == "static"
+                and hasattr(self.model, "calibrate_int8")):
+            return
+        quant = self.params.get("quant")
+        if quant is not None and all(
+                float(jnp.max(a)) > 0 for a in jax.tree.leaves(quant)):
+            return  # already calibrated (this run or via checkpoint)
+        from ..parallel import make_calibrate_step
+        step = make_calibrate_step(self.model, self.mesh)
+        loader = self.build_test_loader(cfg, dataset_name)
+        n = max(1, cfg.TPU.INT8_CALIB_BATCHES)
+        logger.info("Calibrating int8 activation scales on %d batches "
+                    "of %s...", n, dataset_name)
+        for idx, batch in enumerate(loader):
+            if idx >= n:
+                break
+            quant = step(self.params, batch, class_emb)
+            self.params = {**self.params, "quant": quant}
+
     def test(self, cfg) -> Dict[str, Dict]:
         eval_step, loss_step = self._get_eval_steps()
         results = {}
@@ -443,6 +469,7 @@ class OVRTrainer:
             etype = select_evaluator_type(cfg, dataset_name)
             loader = self.build_test_loader(cfg, dataset_name)
             class_emb = self.load_embeddings(dataset_name)
+            self._maybe_calibrate_int8(cfg, dataset_name, class_emb)
             res = {}
             if etype in ("ovr", "loss_and_coco", "loss_and_lvis") and \
                     cfg.TEST.DO_EVAL and loss_step is not None:

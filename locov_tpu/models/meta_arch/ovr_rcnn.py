@@ -108,7 +108,9 @@ class OvrRCNN(nn.Module):
             res2_out_channels=self.res2_out_channels,
             num_groups=self.num_groups,
             width_per_group=self.width_per_group,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            int8_static=(self.int8_eval
+                         and self.int8_scheme == "static"))
 
     # ---------------------------------------------------------------- utils
     def preprocess(self, images: ImageBatch) -> jnp.ndarray:

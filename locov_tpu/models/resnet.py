@@ -107,7 +107,9 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
     ``dtype`` is the computation dtype: the fold happens in f32, then
     one cast — params stay f32 (flax convention).
     """
-    kern = _ConvKernel((kernel, kernel, x.shape[-1], features),
+    from ..ops.int8_conv import QuantizedTensor
+    xa = x.q if isinstance(x, QuantizedTensor) else x
+    kern = _ConvKernel((kernel, kernel, xa.shape[-1], features),
                        name=name)()
     w, b, m, v = _BNParams(features, name=name + "_norm")()
     scale = jax.lax.stop_gradient(w / jnp.sqrt(v + eps))
@@ -129,15 +131,21 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
         #   "static"      — uses the calibrated max: no reduce, and
         #     the quantize fuses into the producer epilogue
         from ..ops.int8_conv import conv_int8
-        amax = None
-        if int8 in ("static", "calibrate"):
-            var = _ActAmax(name=name + "_amax")()
-            if int8 == "calibrate":
-                cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
-                var.value = jnp.maximum(var.value, cur)
-            amax = var.value
-        out = conv_int8(x.astype(cdt), wk, stride, pad, out_dtype=cdt,
-                        amax=amax)
+        if isinstance(x, QuantizedTensor):
+            # producer epilogue already quantized this activation
+            # (e.g. ROIAlign chunk einsums, roi_heads.py) — its amax
+            # var here goes unused in that flow
+            out = conv_int8(x, wk, stride, pad, out_dtype=cdt)
+        else:
+            amax = None
+            if int8 in ("static", "calibrate"):
+                var = _ActAmax(name=name + "_amax")()
+                if int8 == "calibrate":
+                    cur = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    var.value = jnp.maximum(var.value, cur)
+                amax = var.value
+            out = conv_int8(x.astype(cdt), wk, stride, pad,
+                            out_dtype=cdt, amax=amax)
         out = out + shift.astype(out.dtype)
         return nn.relu(out) if relu else out
     if kernel == 1 and \

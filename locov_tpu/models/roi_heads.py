@@ -118,8 +118,17 @@ class Res5ROIHeads(nn.Module):
     num_groups: int = 1
     width_per_group: int = 64
     compute_dtype: object = None
+    # static-int8 serving (TPU.INT8_SCHEME='static'): owns the pooled
+    # tensor's calibrated max-abs so the quantize can fuse into
+    # ROIAlign's chunk epilogues (variables must be declared in setup
+    # for non-compact methods)
+    int8_static: bool = False
 
     def setup(self):
+        if self.int8_static:
+            self.pooled_amax = self.variable(
+                "quant", "pooled_amax",
+                lambda: jnp.zeros((), jnp.float32))
         self.res5 = ResNetStage(
             num_blocks=3,
             bottleneck_channels=self.num_groups * self.width_per_group * 8,
@@ -144,26 +153,48 @@ class Res5ROIHeads(nn.Module):
     def roi_features(self, features: jnp.ndarray, boxes: jnp.ndarray,
                      int8: bool = False) -> jnp.ndarray:
         """ROIAlign + res5 + global mean pool.
-        features: [B, H, W, C]; boxes: [B, S, 4] -> [B, S, 2048]."""
+        features: [B, H, W, C]; boxes: [B, S, 4] -> [B, S, 2048].
+
+        int8 modes (serving; see models/resnet.py): in "static" mode
+        the pooled tensor's quantize fuses into ROIAlign's chunk
+        epilogues and res5 consumes the int8 directly; "calibrate"
+        records the pooled max-abs here (plus per-conv maxima inside
+        res5) into the mutable ``quant`` collection."""
         b, s = boxes.shape[:2]
-        if self.rcfg.use_pallas_roi_align:
+        # bf16 features -> default (bf16-MXU) interpolation passes;
+        # f32 features keep exact interpolation
+        prec = "default" if features.dtype == jnp.bfloat16 \
+            else "highest"
+        if int8 == "static":
+            from ..ops.int8_conv import QuantizedTensor
+            from ..ops.roi_align import roi_align_batched_quant
+            amax = self.pooled_amax
+            q, scale = roi_align_batched_quant(
+                features, boxes, 1.0 / self.rcfg.feature_stride,
+                amax.value, pooled=self.rcfg.pooler_resolution,
+                sampling_ratio=self.rcfg.pooler_sampling_ratio,
+                precision=prec)
+            pooled = QuantizedTensor(
+                q.reshape((b * s,) + q.shape[2:]), scale)
+        elif self.rcfg.use_pallas_roi_align:
             from ..ops.pallas_roi_align import roi_align_pallas
             pooled = roi_align_pallas(
                 features, boxes, 1.0 / self.rcfg.feature_stride,
                 self.rcfg.pooler_resolution,
                 self.rcfg.pooler_sampling_ratio
                 if self.rcfg.pooler_sampling_ratio > 0 else 2)
+            pooled = pooled.reshape((b * s,) + pooled.shape[2:])
         else:
-            # bf16 features -> default (bf16-MXU) interpolation passes;
-            # f32 features keep exact interpolation
-            prec = "default" if features.dtype == jnp.bfloat16 \
-                else "highest"
             pooled = roi_align_batched(
                 features, boxes, 1.0 / self.rcfg.feature_stride,
                 pooled=self.rcfg.pooler_resolution,
                 sampling_ratio=self.rcfg.pooler_sampling_ratio,
                 precision=prec)
-        pooled = pooled.reshape((b * s,) + pooled.shape[2:])
+            pooled = pooled.reshape((b * s,) + pooled.shape[2:])
+            if int8 == "calibrate":
+                cur = jnp.max(jnp.abs(pooled.astype(jnp.float32)))
+                self.pooled_amax.value = jnp.maximum(
+                    self.pooled_amax.value, cur)
         out = self.res5(pooled, int8=int8)
         out = out.mean(axis=(1, 2))
         return out.reshape(b, s, -1)

@@ -31,10 +31,21 @@ AP impact must be validated on real data before production use
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
 _QMAX = 127.0
+
+
+class QuantizedTensor(NamedTuple):
+    """An int8 tensor with its (per-tensor) dequantization scale.
+    Produced by fusing the static quantize into a producer's epilogue
+    (e.g. ROIAlign's chunk einsums) so the activation is written to
+    HBM once, as int8, instead of bf16 + a separate quantize pass."""
+    q: jnp.ndarray       # int8
+    scale: jnp.ndarray   # f32 scalar
 
 
 def quantize_per_tensor(x: jnp.ndarray):
@@ -73,18 +84,24 @@ def _int8_conv_core(xq, wq, stride, pad):
         preferred_element_type=jnp.int32)
 
 
-def conv_int8(x: jnp.ndarray, w: jnp.ndarray, stride: int, pad: int,
+def conv_int8(x, w: jnp.ndarray, stride: int, pad: int,
               out_dtype=None, amax=None) -> jnp.ndarray:
     """NHWC x HWIO conv computed in int8 with int32 accumulation.
 
-    ``x`` float [B,H,W,C]; ``w`` float [k,k,I,O] (FrozenBN-folded).
-    Output is float (``out_dtype`` or ``x.dtype``), dequantized by the
-    activation scale times the per-channel weight scales. With
-    ``amax`` (a calibrated scalar) the activation scale is static —
-    the fast scheme; without, it is computed on the fly (dynamic —
-    measured a net LOSS at production activation sizes, PERF.md).
+    ``x`` float [B,H,W,C] — or a ``QuantizedTensor`` already written as
+    int8 by a producer epilogue (then ``out_dtype`` is required and the
+    quantize here is skipped entirely); ``w`` float [k,k,I,O]
+    (FrozenBN-folded). Output is float (``out_dtype`` or ``x.dtype``),
+    dequantized by the activation scale times the per-channel weight
+    scales. With ``amax`` (a calibrated scalar) the activation scale is
+    static — the fast scheme; without, it is computed on the fly
+    (dynamic — measured a net LOSS at production activation sizes,
+    PERF.md).
     """
-    if amax is None:
+    if isinstance(x, QuantizedTensor):
+        xq, sx = x.q, x.scale
+        assert out_dtype is not None
+    elif amax is None:
         xq, sx = quantize_per_tensor(x)
     else:
         xq, sx = quantize_per_tensor_static(x, amax)

@@ -123,6 +123,102 @@ def _forward(features, boxes, spatial_scale, pooled, sampling_ratio,
     return out[:, :n].astype(features.dtype), (ky[:, :n], kx[:, :n])
 
 
+FUSED_N_BLOCK = 16
+FUSED_C_BLOCK = 128
+
+
+def _fused_kernel(f_ref, ky_ref, kx_ref, out_ref):
+    """Inference-oriented fused ROIAlign. Grid (B, C/Cb, N/Nb) with the
+    BOX axis innermost: the feature slab's index map ignores the box
+    index, so Mosaic keeps the [H, W, Cb] tile VMEM-resident across all
+    box blocks (the original `_kernel` re-DMA'd its feature tile once
+    per 4-box block — ~17 GB/step at STT eval shapes, the measured
+    reason it lost to XLA). The [Nb, Q, H, Cb] intermediate lives only
+    in VMEM — the XLA two-einsum form round-trips it through HBM
+    (~11.5 GB/step at eval shapes, PERF.md), which is that path's
+    dominant cost.
+
+    f_ref:   [1, H, W, Cb]    feature slab (resident across box blocks)
+    ky_ref:  [1, Nb, H, P]
+    kx_ref:  [1, Nb, Q, W]
+    out_ref: [1, Nb, P, Q, Cb] written once per grid cell
+    """
+    f = f_ref[0]
+    ky = ky_ref[0]
+    kx = kx_ref[0]
+    # s[n, q, h, cb] = sum_w kx[n, q, w] f[h, w, cb]
+    s = jax.lax.dot_general(
+        kx, f, dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [Nb, Q, H, Cb]
+    # out[n, p, q, cb] = sum_h ky[n, h, p] s[n, q, h, cb]
+    out = jax.lax.dot_general(
+        ky, s, dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # [Nb, P, Q, Cb]
+    out_ref[...] = out[None].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("pooled", "sampling_ratio",
+                                             "interpret"))
+def roi_align_pallas_fused(features, boxes, spatial_scale, pooled=14,
+                           sampling_ratio=2, interpret=False):
+    """Fused single-pass ROIAlign forward (serving path; no VJP).
+    features [B, H, W, C] -> [B, N, P, P, C] in features.dtype.
+    ``sampling_ratio<=0`` uses the d2 adaptive grid (same semantics as
+    ``roi_align_batched``)."""
+    from .roi_align import _adaptive_coords
+    b, h, w, c = features.shape
+    n = boxes.shape[1]
+    x0 = boxes[..., 0] * spatial_scale - 0.5
+    y0 = boxes[..., 1] * spatial_scale - 0.5
+    bw = boxes[..., 2] * spatial_scale - 0.5 - x0
+    bh = boxes[..., 3] * spatial_scale - 0.5 - y0
+    flat = lambda v: v.reshape(b * n)
+    if sampling_ratio > 0:
+        sr = int(sampling_ratio)
+        ky = _interp_matrix(_sample_coords(flat(y0), flat(bh), pooled,
+                                           sr), h)
+        kx = _interp_matrix(_sample_coords(flat(x0), flat(bw), pooled,
+                                           sr), w)
+    else:
+        cy, wy = _adaptive_coords(flat(y0), flat(bh), pooled)
+        cx, wx = _adaptive_coords(flat(x0), flat(bw), pooled)
+        ky = _interp_matrix(cy, h, wy)
+        kx = _interp_matrix(cx, w, wx)
+    ky = ky.reshape(b, n, pooled, h)
+    kx = kx.reshape(b, n, pooled, w)
+
+    io = features.dtype
+    nb = FUSED_N_BLOCK
+    cb = min(FUSED_C_BLOCK, c)
+    fp = _pad_to(features, 8, 1)
+    hp = fp.shape[1]
+    # ky -> [B, N, H, P]: H on the sublane axis of the ky tile
+    ky_t = _pad_to(_pad_to(ky.swapaxes(2, 3), 8, 2), nb, 1).astype(io)
+    kx_p = _pad_to(kx, nb, 1).astype(io)
+    np_ = ky_t.shape[1]
+
+    grid = (b, c // cb, np_ // nb)
+    out = pl.pallas_call(
+        _fused_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, hp, w, cb),
+                         lambda bi, ci, ni: (bi, 0, 0, ci)),
+            pl.BlockSpec((1, nb, hp, pooled),
+                         lambda bi, ci, ni: (bi, ni, 0, 0)),
+            pl.BlockSpec((1, nb, pooled, w),
+                         lambda bi, ci, ni: (bi, ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nb, pooled, pooled, cb),
+                               lambda bi, ci, ni: (bi, ni, 0, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((b, np_, pooled, pooled, c), io),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
+        interpret=interpret,
+    )(fp, ky_t, kx_p)
+    return out[:, :n]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def roi_align_pallas(features, boxes, spatial_scale, pooled=14,
                      sampling_ratio=2, interpret=False):

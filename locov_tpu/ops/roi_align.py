@@ -111,6 +111,27 @@ def roi_align_batched(features: jnp.ndarray, boxes: jnp.ndarray,
                            sampling_ratio, chunk, precision)
 
 
+def roi_align_batched_quant(features: jnp.ndarray, boxes: jnp.ndarray,
+                            spatial_scale: float, amax: jnp.ndarray,
+                            pooled: int = 14, sampling_ratio: int = 2,
+                            chunk: int = 200,
+                            precision: str = "highest"):
+    """Inference-only ROIAlign emitting int8 directly (static-int8
+    serving, TPU.INT8_SCHEME='static'): the calibrated ``amax`` of the
+    pooled tensor turns the quantize into a fused chunk epilogue.
+    Returns (q [B, N, P, P, C] int8, scale f32 scalar) — exactly
+    ``quantize_per_tensor_static(roi_align_batched(...), amax)`` with
+    one HBM write instead of three passes. No VJP (serving never
+    differentiates); training paths keep ``roi_align_batched``."""
+    n = boxes.shape[1]
+    chunk = max(min(chunk, -(-n // 8) * 8), 1)
+    q, _ = _roi_align_impl(features, boxes, spatial_scale, pooled,
+                           sampling_ratio, chunk, precision,
+                           quant_amax=amax)
+    scale = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-12)
+    return q, scale
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _roi_align_core(features, boxes, spatial_scale, pooled,
                     sampling_ratio, chunk, precision):
@@ -124,7 +145,7 @@ def _roi_align_core(features, boxes, spatial_scale, pooled,
 def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
                     spatial_scale: float, pooled: int = 14,
                     sampling_ratio: int = 2, chunk: int = 200,
-                    precision: str = "highest"):
+                    precision: str = "highest", quant_amax=None):
     """features [B, H, W, C], boxes [B, N, 4] ->
     ([B, N, pooled, pooled, C], (ky, kx)).
 
@@ -193,9 +214,21 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
         t = jnp.einsum("bnqw,bhwc->bnqhc", kx_c, features,
                        preferred_element_type=io_dtype,
                        precision=prec)
-        return jnp.einsum("bnqhc,bnph->bnpqc", t, ky_c,
-                          preferred_element_type=io_dtype,
-                          precision=prec)
+        res = jnp.einsum("bnqhc,bnph->bnpqc", t, ky_c,
+                         preferred_element_type=io_dtype,
+                         precision=prec).astype(features.dtype)
+        if quant_amax is not None:
+            # static-int8 serving: quantize INSIDE the chunk so XLA
+            # fuses the round/clip/cast into the einsum epilogue and
+            # the pooled tensor is written once, as s8 — the separate
+            # whole-tensor quantize pass could not fuse through the
+            # chunk concatenate (measured 11.7 ms on the STT eval
+            # profile). Math matches quantize_per_tensor_static.
+            scale = jnp.maximum(
+                quant_amax.astype(jnp.float32) / 127.0, 1e-12)
+            res = jnp.clip(jnp.round(res.astype(jnp.float32) / scale),
+                           -127.0, 127.0).astype(jnp.int8)
+        return res
 
     if nchunks == 1:
         out = do_chunk((ky[0], kx[0]))
@@ -213,7 +246,8 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
         out = out.reshape(b, nchunks * chunk, pooled, pooled,
                           features.shape[3])
     # ky/kx kept as [nchunks, B, chunk, P, dim] for the backward
-    return out[:, :n].astype(features.dtype), (ky, kx)
+    # (dtype cast already applied per chunk)
+    return out[:, :n], (ky, kx)
 
 
 def _roi_align_fwd(features, boxes, spatial_scale, pooled,

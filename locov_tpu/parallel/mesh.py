@@ -210,6 +210,28 @@ def make_eval_step(model, mesh: Mesh, axis: str = "data") -> Callable:
     return step
 
 
+def make_calibrate_step(model, mesh: Mesh, axis: str = "data") -> Callable:
+    """Jitted int8 calibration step (static scheme, TPU.INT8_SCHEME):
+    runs ``model.calibrate_int8`` with the ``quant`` collection mutable
+    and returns the updated collection (running per-conv activation
+    max-abs). The max over the batch-sharded activations is a global
+    max — XLA inserts the collective — so every host gets identical
+    replicated amax values."""
+
+    @functools.partial(jax.jit,
+                       in_shardings=(replicated(mesh),
+                                     batch_sharded(mesh, axis),
+                                     replicated(mesh)),
+                       out_shardings=replicated(mesh))
+    def step(params, batch, class_emb):
+        _, upd = model.apply(params, batch, class_emb,
+                             method=model.calibrate_int8,
+                             mutable=["quant"])
+        return upd["quant"]
+
+    return step
+
+
 def make_loss_eval_step(model, mesh: Mesh, axis: str = "data") -> Callable:
     """Validation-loss pass (reference inference_on_caption_ovr_dataset,
     evaluator.py:99-196): loss dict without gradients."""

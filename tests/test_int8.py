@@ -146,6 +146,39 @@ def test_int8_static_calibrate_flow(tiny_stt):
     cfg.TPU.INT8_SCHEME = "dynamic"
 
 
+def test_int8_calibrate_step_on_mesh(tiny_stt):
+    """make_calibrate_step on the 8-device mesh: quant comes back
+    replicated and accumulates a running max across calls; the merged
+    params then drive make_eval_step."""
+    import jax.numpy as jnp
+    from locov_tpu.parallel import (get_mesh, make_calibrate_step,
+                                    make_eval_step)
+    cfg, batch, class_emb, build = tiny_stt
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_SCHEME = "static"
+    model = build(cfg)
+    params = jax.jit(
+        lambda d, c: model.init(jax.random.PRNGKey(0), d, c,
+                                method=model.inference))(batch, class_emb)
+    mesh = get_mesh(jax.devices()[:2])  # fixture batch is 2
+    cal = make_calibrate_step(model, mesh)
+    quant = cal(params, batch, class_emb)
+    amaxes1 = [float(a) for a in jax.tree_util.tree_leaves(quant)]
+    assert all(a > 0 for a in amaxes1)
+    params = {**params, "quant": quant}
+    # second pass with a brighter batch must only move maxima UP
+    batch2 = batch._replace(images=batch.images._replace(
+        image=batch.images.image * 2.0))
+    quant2 = cal(params, batch2, class_emb)
+    amaxes2 = [float(a) for a in jax.tree_util.tree_leaves(quant2)]
+    assert all(b >= a for a, b in zip(amaxes1, amaxes2))
+    params = {**params, "quant": quant2}
+    dets = make_eval_step(model, mesh)(params, batch, class_emb)
+    assert np.all(np.isfinite(np.asarray(dets.scores)))
+    cfg.TPU.INT8_EVAL = False
+    cfg.TPU.INT8_SCHEME = "dynamic"
+
+
 def test_int8_eval_end_to_end(tiny_stt):
     cfg, batch, class_emb, build = tiny_stt
     key = jax.random.PRNGKey(0)

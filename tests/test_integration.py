@@ -68,6 +68,44 @@ def test_stt_train_and_eval(micro_root):
     assert np.isfinite(trainer2.storage.histories()["total_loss"].latest)
 
 
+def test_stt_int8_static_eval(micro_root):
+    """Eval-only flow with TPU.INT8_EVAL + static scheme: the trainer
+    auto-calibrates the quant collection before the first eval pass,
+    the eval produces finite COCO metrics, and checkpoints written
+    after calibration carry the quant collection."""
+    _fresh_catalogs()
+    from locov_tpu.engine.trainer import OVRTrainer
+
+    cfg = micro_cfg(micro_root, "OvrRCNN")
+    cfg.DATASETS.TRAIN = ("coco_zeroshot_train",)
+    cfg.DATASETS.TEST = ("coco_zeroshot_val",)
+    cfg.OUTPUT_DIR = os.path.join(micro_root, "output_int8")
+    cfg.TPU.INT8_EVAL = True
+    cfg.TPU.INT8_SCHEME = "static"
+    cfg.TPU.INT8_CALIB_BATCHES = 1
+    cfg.freeze()
+
+    trainer = OVRTrainer(cfg)
+    import jax
+    # setup-declared quant vars exist from init but start at zero
+    pre = jax.tree_util.tree_leaves(trainer.params.get("quant", {}))
+    assert all(float(jax.numpy.max(a)) == 0 for a in pre)
+    results = trainer.test(cfg)
+    amaxes = jax.tree_util.tree_leaves(trainer.params["quant"])
+    assert all(float(a) > 0 for a in amaxes)  # auto-calibrated
+    res = results["coco_zeroshot_val"]
+    assert "AP" in res and np.isfinite(res["AP"])
+    # the quant collection round-trips through a checkpoint
+    trainer.checkpointer.save_named(
+        "model_final", {"params": trainer.params, "iteration": 0})
+    state = trainer.checkpointer.load("model_final")
+    assert "quant" in state["params"]
+    restored = jax.tree_util.tree_leaves(state["params"]["quant"])
+    np.testing.assert_allclose(
+        np.asarray(sorted(float(a) for a in restored)),
+        np.asarray(sorted(float(a) for a in amaxes)))
+
+
 def test_lsm_train_step(micro_root):
     _fresh_catalogs()
     from locov_tpu.engine.trainer import OVRTrainer
