@@ -10,10 +10,14 @@ Timing protocol for the shared axon chip (PERF.md): chained dependent
 iterations (each step consumes a scalar derived from the previous
 output) with one final materialization, best-of-reps.
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def bench(fn, args, n_iter=10, reps=4):
