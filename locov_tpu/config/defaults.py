@@ -277,6 +277,10 @@ def get_default_cfg() -> CN:
     _C.SOLVER.REFERENCE_WORLD_SIZE = 0
     _C.SOLVER.BIAS_LR_FACTOR = 1.0
     _C.SOLVER.WEIGHT_DECAY_BIAS = None
+    # named (commented out) in the reference configs
+    # (configs/coco_lsm.yaml:114-115) but never implemented there;
+    # functional here via optax.MultiSteps (engine/solver.py)
+    _C.SOLVER.GRADIENT_ACCUMULATION_STEPS = 1
     _C.SOLVER.CLIP_GRADIENTS = CN()
     _C.SOLVER.CLIP_GRADIENTS.ENABLED = False
     _C.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "value"
@@ -355,6 +359,10 @@ def get_default_cfg() -> CN:
     # depth of the host->device input pipeline (DevicePrefetcher);
     # 0 disables prefetch (batches transfer synchronously in run_step)
     _C.TPU.PREFETCH_BATCHES = 2
+    # async orbax checkpointing: disk IO overlaps training; bookkeeping
+    # (last_checkpoint pointer, pruning) is deferred to the commit
+    # barrier (utils/checkpoint.py:Checkpointer)
+    _C.TPU.ASYNC_CHECKPOINT = True
     # BxB contrastive scope: "local" = per-device batch (reference DDP
     # parity); "global" = all-gathered global batch (stronger signal,
     # costlier transformer-head pass)

@@ -198,4 +198,42 @@ def build_optimizer(cfg, params,
                                decays, trainable)
         return updates, SGDState(momentum=new_mom, step=state.step + 1)
 
-    return optax.GradientTransformation(init, update), schedule
+    tx = optax.GradientTransformation(init, update)
+    accum = int(getattr(cfg.SOLVER, "GRADIENT_ACCUMULATION_STEPS", 1))
+    if accum > 1:
+        # The reference names (but never implements) this knob in its
+        # configs (configs/coco_lsm.yaml:114-115). optax.MultiSteps
+        # averages grads over `accum` micro-batches and applies ONE
+        # inner update — clipping and the LR schedule see the averaged
+        # (large-batch-equivalent) gradient, and the schedule advances
+        # per EFFECTIVE batch. Trainer iterations remain micro-batches,
+        # so the iteration-indexed schedule is step//accum.
+        ms = optax.MultiSteps(tx, every_k_schedule=accum)
+        tx = optax.GradientTransformation(ms.init, ms.update)
+        inner_schedule = schedule
+        schedule = lambda step: inner_schedule(step // accum)  # noqa: E731
+    return tx, schedule
+
+
+def restore_opt_state(restored, template):
+    """Rebuild an optimizer-state pytree (nested NamedTuples) from an
+    orbax-restored plain-dict tree, using a freshly-initialized state as
+    the structure template. Handles SGDState as well as wrappers like
+    optax.MultiStepsState (empty-tuple fields such as ``skip_state``
+    don't survive orbax round-trips and are taken from the template)."""
+    def rec(t, r):
+        if hasattr(t, "_fields"):  # NamedTuple
+            r = r if isinstance(r, dict) else \
+                {f: getattr(r, f) for f in t._fields}
+            return type(t)(**{f: rec(getattr(t, f), r.get(f))
+                              for f in t._fields})
+        if isinstance(t, dict):
+            return {k: rec(v, (r or {}).get(k)) for k, v in t.items()}
+        if isinstance(t, (tuple, list)):
+            if len(t) == 0 or r is None:
+                return t
+            return type(t)(rec(tv, rv) for tv, rv in zip(t, r))
+        if r is None:
+            return t
+        return jnp.asarray(r)
+    return rec(template, restored)

@@ -102,7 +102,9 @@ class OVRTrainer:
         n_params = sum(x.size for x in jax.tree.leaves(self.params))
         logger.info("Model has %.1fM parameters", n_params / 1e6)
 
-        self.checkpointer = Checkpointer(cfg.OUTPUT_DIR, max_to_keep=2)
+        self.checkpointer = Checkpointer(
+            cfg.OUTPUT_DIR, max_to_keep=2,
+            use_async=cfg.TPU.ASYNC_CHECKPOINT)
         if cfg.MODEL.WEIGHTS:
             self.load_pretrained(cfg.MODEL.WEIGHTS)
         if cfg.MODEL.PROJECTION_WEIGHTS:
@@ -281,16 +283,14 @@ class OVRTrainer:
             state = self.checkpointer.load(name)
             self.params = jax.tree.map(jnp.asarray, state["params"])
             # orbax restores NamedTuples as plain dicts — rebuild the
-            # optimizer-state structure
+            # optimizer-state structure (SGDState, or MultiStepsState
+            # when SOLVER.GRADIENT_ACCUMULATION_STEPS > 1) against a
+            # freshly-initialized template
             restored = state.get("opt_state")
-            if isinstance(restored, dict) and "momentum" in restored:
-                from .solver import SGDState
-                self.opt_state = SGDState(
-                    momentum=jax.tree.map(jnp.asarray,
-                                          restored["momentum"]),
-                    step=jnp.asarray(restored["step"]))
-            elif restored is not None:
-                self.opt_state = jax.tree.map(jnp.asarray, restored)
+            if restored is not None:
+                from .solver import restore_opt_state
+                self.opt_state = restore_opt_state(
+                    restored, self.optimizer.init(self.params))
             self.start_iter = self.checkpointer.resume_iteration(name)
             self.storage.iter = self.start_iter
             logger.info("Resumed from %s at iter %d", name,
@@ -391,7 +391,10 @@ class OVRTrainer:
             "model_final", {"params": self.params,
                             "opt_state": self.opt_state,
                             "iteration": self.max_iter - 1})
-        return self.test_and_maybe_save(final=True)
+        results = self.test_and_maybe_save(final=True)
+        # commit the in-flight async save (it overlapped the final eval)
+        self.checkpointer.wait()
+        return results
 
     def after_step(self, it: int):
         cfg = self.cfg

@@ -52,26 +52,68 @@ def unflatten_params(flat: Dict[str, Any]) -> dict:
 
 # ------------------------------------------------------------- checkpointer
 class Checkpointer:
-    """Orbax-backed checkpoint manager with d2-style conventions."""
+    """Orbax-backed checkpoint manager with d2-style conventions.
 
-    def __init__(self, output_dir: str, max_to_keep: int = 2):
+    Saves are ASYNCHRONOUS by default (``use_async=True``): orbax's
+    AsyncCheckpointer copies the state device->host synchronously and
+    writes the (multi-GB at production scale) checkpoint to disk in a
+    background thread, overlapping the IO with subsequent training
+    steps. The d2-style bookkeeping that must only see *committed*
+    checkpoints — the ``last_checkpoint`` pointer file and
+    ``max_to_keep`` pruning — is deferred to the commit barrier:
+    at most one save is in flight, and every reader
+    (``load``/``has_checkpoint``/``last_checkpoint``) and the next
+    save call ``wait()`` first. A crash mid-save therefore leaves the
+    pointer at the previous complete checkpoint (orbax finalizes via
+    tmp-dir rename, so the partial write is never visible under the
+    final name either).
+    """
+
+    def __init__(self, output_dir: str, max_to_keep: int = 2,
+                 use_async: bool = True):
         import orbax.checkpoint as ocp
         self.output_dir = output_dir
         os.makedirs(output_dir, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        if use_async:
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+        self._async = use_async
+        self._pending: Optional[Tuple[str, bool]] = None  # (name, ptr?)
         self.max_to_keep = max_to_keep
 
     # -- naming ---------------------------------------------------------
     def _path(self, name: str) -> str:
         return os.path.join(self.output_dir, name)
 
+    # -- async barrier ----------------------------------------------------
+    def wait(self):
+        """Block until the in-flight save (if any) is committed, then
+        run its deferred bookkeeping (pointer file + pruning)."""
+        if self._pending is None:
+            return
+        name, update_pointer = self._pending
+        self._pending = None
+        self._ckptr.wait_until_finished()
+        if update_pointer:
+            with open(self._path("last_checkpoint"), "w") as f:
+                f.write(name)
+            self._prune()
+
+    def _dispatch(self, name: str, state: dict, update_pointer: bool):
+        self.wait()  # at most one save in flight
+        self._ckptr.save(self._path(name), state, force=True)
+        if self._async:
+            self._pending = (name, update_pointer)
+        elif update_pointer:
+            with open(self._path("last_checkpoint"), "w") as f:
+                f.write(name)
+            self._prune()
+
     def save(self, name: str, state: dict) -> str:
-        path = self._path(name)
-        self._ckptr.save(path, state, force=True)
-        with open(self._path("last_checkpoint"), "w") as f:
-            f.write(name)
-        self._prune()
-        return path
+        self._dispatch(name, state, update_pointer=True)
+        return self._path(name)
 
     def _prune(self):
         pat = re.compile(r"^model_(\d+)$")
@@ -95,21 +137,25 @@ class Checkpointer:
         return path
 
     def save_named(self, name: str, state: dict) -> str:
+        self.wait()
         path = self._path(name)
         import shutil
         shutil.rmtree(path, ignore_errors=True)
-        self._ckptr.save(path, state, force=True)
+        self._dispatch(name, state, update_pointer=False)
         return path
 
     def load(self, name_or_path: str) -> dict:
+        self.wait()
         path = name_or_path if os.path.isabs(name_or_path) \
             else self._path(name_or_path)
         return self._ckptr.restore(path)
 
     def has_checkpoint(self) -> bool:
+        self.wait()
         return os.path.exists(self._path("last_checkpoint"))
 
     def last_checkpoint(self) -> Optional[str]:
+        self.wait()
         try:
             with open(self._path("last_checkpoint")) as f:
                 return f.read().strip()

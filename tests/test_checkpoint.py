@@ -35,9 +35,44 @@ def test_max_to_keep_pruning(tmp_path):
     ck = Checkpointer(str(tmp_path), max_to_keep=2)
     for it in [1, 2, 3, 4]:
         ck.save_periodic(it, _params())
+    ck.wait()  # commit the in-flight async save before inspecting disk
     names = sorted(n for n in os.listdir(tmp_path)
                    if n.startswith("model_0"))
     assert names == ["model_0000003", "model_0000004"]
+
+
+def test_async_readers_barrier_on_pending_save(tmp_path):
+    """Every reader must see the just-dispatched async save committed."""
+    ck = Checkpointer(str(tmp_path), max_to_keep=2, use_async=True)
+    ck.save_periodic(1, {**_params(), "iteration": 1})
+    state2 = {"params": {"a": {"w": jnp.full((2, 3), 5.0)}},
+              "iteration": 2}
+    ck.save_periodic(2, state2)
+    # last_checkpoint() barriers: the pointer reflects the second save
+    assert ck.last_checkpoint() == "model_0000002"
+    loaded = ck.load("model_0000002")
+    np.testing.assert_allclose(np.asarray(loaded["params"]["a"]["w"]), 5.0)
+
+
+def test_async_save_named_while_pending(tmp_path):
+    """save_named (model_final/model_best) right after a periodic save
+    must serialize with the in-flight save, not corrupt it."""
+    ck = Checkpointer(str(tmp_path), use_async=True)
+    ck.save_periodic(9, {**_params(), "iteration": 9})
+    ck.save_named("model_final", {**_params(), "iteration": 9})
+    ck.wait()
+    assert os.path.isdir(tmp_path / "model_0000009")
+    assert os.path.isdir(tmp_path / "model_final")
+    # save_named never moves the pointer (d2 semantics)
+    assert ck.last_checkpoint() == "model_0000009"
+
+
+def test_sync_mode_roundtrip(tmp_path):
+    ck = Checkpointer(str(tmp_path), use_async=False)
+    ck.save_periodic(3, {**_params(), "iteration": 3})
+    assert ck.last_checkpoint() == "model_0000003"
+    loaded = ck.load("model_0000003")
+    np.testing.assert_allclose(np.asarray(loaded["params"]["b"]["x"]), 1.0)
 
 
 def test_best_metric_sidecar(tmp_path):

@@ -97,3 +97,48 @@ def test_global_step_updates_params():
                             jnp.zeros((1,)), jax.random.PRNGKey(0))
     assert float(jnp.abs(new_params["params"]["w"]
                          - jnp.asarray(w_before)).sum()) > 1e-6
+
+
+class _ToyL2:
+    """Per-sample L2 loss: NONZERO per-device gradients even at local
+    batch 1 (ToyContrastive's 1x1 contrastive loss is identically zero
+    per shard on the 8-device mesh, so it can't drive this test)."""
+
+    def apply(self, params, batch, class_emb, rng, deterministic=True,
+              method=None, rngs=None):
+        pred = batch["x"] @ params["params"]["w"]
+        return {}, {"l2": (pred ** 2).mean()}
+
+    @property
+    def losses(self):
+        return "losses"
+
+
+def test_gradient_accumulation_inside_mesh_step():
+    """optax.MultiSteps-wrapped optimizer under the shard_map train
+    step: the first micro-step must leave params untouched, the second
+    applies the inner update of the 2-micro-batch mean gradient."""
+    import optax
+    mesh, params, batch = _setup()
+    model = _ToyL2()
+    inner = _Opt()
+    ms = optax.MultiSteps(
+        optax.GradientTransformation(lambda p: inner.init(p),
+                                     lambda g, s, p: inner.update(g, s, p)),
+        every_k_schedule=2)
+    opt = optax.GradientTransformation(ms.init, ms.update)
+    step = make_train_step(model, opt, mesh, contrastive_scope="local")
+    st = opt.init(params)
+    b = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+    w0 = np.asarray(params["params"]["w"])  # step() donates its inputs
+    p1, st, _ = step(params, st, b, None, key)
+    assert int(st.mini_step) == 1
+    acc = np.asarray(st.acc_grads["params"]["w"])
+    assert np.abs(acc).max() > 0  # pmean'd grads accumulated, nonzero
+    np.testing.assert_array_equal(np.asarray(p1["params"]["w"]), w0)
+    p2, st, _ = step(p1, st, b, None, key)
+    assert int(st.mini_step) == 0 and int(st.gradient_step) == 1
+    # same data both micro-steps -> applied update == -0.1 * acc_grad
+    np.testing.assert_allclose(np.asarray(p2["params"]["w"]) - w0,
+                               -0.1 * acc, rtol=1e-5, atol=1e-7)
