@@ -112,6 +112,7 @@ def test_conv_int8_static_matches_dynamic_with_true_amax(rng):
     np.testing.assert_array_equal(dyn, sta)
 
 
+@pytest.mark.slow
 def test_int8_static_calibrate_flow(tiny_stt):
     """init(static) -> calibrate(mutable quant) -> inference must equal
     the dynamic scheme on the calibration batch (running maxima start
@@ -146,6 +147,7 @@ def test_int8_static_calibrate_flow(tiny_stt):
     cfg.TPU.INT8_SCHEME = "dynamic"
 
 
+@pytest.mark.slow
 def test_int8_calibrate_step_on_mesh(tiny_stt):
     """make_calibrate_step on the 8-device mesh: quant comes back
     replicated and accumulates a running max across calls; the merged
@@ -179,6 +181,7 @@ def test_int8_calibrate_step_on_mesh(tiny_stt):
     cfg.TPU.INT8_SCHEME = "dynamic"
 
 
+@pytest.mark.slow
 def test_int8_eval_end_to_end(tiny_stt):
     cfg, batch, class_emb, build = tiny_stt
     key = jax.random.PRNGKey(0)
