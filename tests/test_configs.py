@@ -65,6 +65,27 @@ def test_shipped_yamls_merge_and_build_without_reference(monkeypatch):
     build_meta_arch(cfg)
 
 
+def test_lvis_yaml_merges_and_builds_without_reference(monkeypatch):
+    """configs/lvis_stt.yaml (an extension beyond the reference, which
+    registers LVIS splits but ships no LVIS experiment YAML): merges,
+    carries the LVIS protocol knobs, and builds its meta-arch."""
+    _no_reference_open(monkeypatch)
+    from locov_tpu.data.datasets.lvis import LVIS_DATASETS
+    from locov_tpu.models import build_meta_arch
+
+    cfg = get_cfg()
+    cfg.merge_from_file(config_path("lvis_stt.yaml"))
+    assert cfg.MODEL.META_ARCHITECTURE == "OvrRCNN"
+    assert cfg.MODEL.ROI_HEADS.NUM_CLASSES == 866  # c+f base split
+    assert cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST == 0.0001
+    assert cfg.TEST.DETECTIONS_PER_IMAGE == 300  # LVIS AR@300 protocol
+    # every referenced dataset name is registrable
+    for name in cfg.DATASETS.TRAIN + cfg.DATASETS.TEST:
+        assert name in LVIS_DATASETS, name
+    cfg.MODEL.WEIGHTS = ""
+    build_meta_arch(cfg)
+
+
 def test_no_runtime_reference_paths_in_package():
     """The literal string /root/reference may appear only in comments or
     docstrings (citations for the judge), never in executable code."""
