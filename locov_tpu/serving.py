@@ -42,6 +42,22 @@ import numpy as np
 from .structures.batches import DetectionBatch, GtBatch, ImageBatch
 
 
+def load_class_embeddings(path: str):
+    """Read a class-name->vector JSON (tools/coco_bert_embeddings.py
+    output) into ``(names, mtx)`` with the framework's row convention:
+    row i = names[i] (sorted), and the LAST row is the zero background
+    embedding (data/datasets/coco.py:219-222; the classifier's scores
+    are [.., K+1] with K = background, models/box_predictor.py)."""
+    with open(path) as f:
+        emb = json.load(f)
+    names = sorted(emb)
+    dim = len(emb[names[0]])
+    mtx = np.zeros((len(names) + 1, dim), np.float32)
+    for i, k in enumerate(names):
+        mtx[i] = np.asarray(emb[k], np.float32)
+    return names, jnp.asarray(mtx)
+
+
 def make_serve_fn(model):
     """Wrap ``model.inference`` as a plain-array function suitable for
     jax.export (exported calling conventions should not depend on the

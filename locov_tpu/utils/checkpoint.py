@@ -20,12 +20,15 @@ Replaces the reference's ``WSOGCheckpointer``
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------- flat tree
@@ -556,3 +559,53 @@ STT_FROM_LSM_RENAME = {
     "mmss_heads/grounding_head/v2l_projection":
         ["roi_heads/box_predictor/emb_pred"],
 }
+
+
+def load_weights_standalone(variables: dict, weights: str,
+                            report_dir: Optional[str] = None) -> dict:
+    """Load weights into freshly-initialized ``variables`` outside the
+    trainer (serving export, demo). Mirrors OVRTrainer.load_pretrained
+    (engine/trainer.py) — torch .pth / Caffe2 .pkl / orbax sources, the
+    LSM->STT rename fan-out when key sets differ — without building
+    loaders or datasets. Writes ``import_report.json`` to
+    ``report_dir`` (the day-1 runbook surface) when given, and carries
+    non-param collections (e.g. the int8 'quant' calibration) from
+    orbax sources."""
+    import jax
+    import jax.numpy as jnp
+
+    flat_dst = flatten_params(variables["params"])
+    if weights.endswith((".pth", ".pkl")):
+        state = load_torch_file(weights)
+        flat_src = (convert_caffe2_resnet(state)
+                    if weights.endswith(".pkl")
+                    else convert_d2_state_dict(state))
+        extra = {}
+    else:
+        ck = Checkpointer(os.path.dirname(weights) or ".",
+                          use_async=False)
+        state = ck.load(weights)
+        src = state["params"] if "params" in state else state
+        if "params" in src:
+            src, extra = src["params"], {k: v for k, v in src.items()
+                                         if k != "params"}
+        else:
+            extra = {}
+        flat_src = flatten_params(src)
+    rename = {} if set(flat_src) == set(flat_dst) else STT_FROM_LSM_RENAME
+    merged, report = load_with_rename_map(flat_src, flat_dst, rename)
+    if report_dir:
+        os.makedirs(report_dir, exist_ok=True)
+        with open(os.path.join(report_dir, "import_report.json"),
+                  "w") as f:
+            json.dump({"weights": weights, "loaded": report.loaded,
+                       "missing": report.missing,
+                       "mismatched": [list(m) for m in report.mismatched],
+                       "unused_src": report.unused_src}, f, indent=1)
+    logger.info(report.summary())
+    out = dict(variables)
+    out["params"] = jax.tree.map(jnp.asarray, unflatten_params(merged))
+    for k, v in extra.items():
+        if k in out:
+            out[k] = jax.tree.map(jnp.asarray, v)
+    return out

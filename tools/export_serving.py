@@ -67,13 +67,8 @@ def main():
     nc = cfg.MODEL.ROI_HEADS.NUM_CLASSES
     dim = cfg.MODEL.ROI_BOX_HEAD.EMB_DIM
     if args.embeddings:
-        import json as _json
-        with open(args.embeddings) as f:
-            emb = _json.load(f)
-        mat = np.zeros((len(emb) + 1, dim), np.float32)  # zero bg row
-        for i, k in enumerate(sorted(emb)):
-            mat[i + 1] = np.asarray(emb[k], np.float32)
-        class_emb = jnp.asarray(mat)
+        from locov_tpu.serving import load_class_embeddings
+        _, class_emb = load_class_embeddings(args.embeddings)
     else:
         class_emb = jnp.asarray(
             np.random.RandomState(0).randn(nc + 1, dim)
@@ -90,8 +85,9 @@ def main():
             ex_image, ex_hw, class_emb)
 
     if args.weights:
-        variables = _load_weights(cfg, variables, args.weights,
-                                  args.out)
+        from locov_tpu.utils.checkpoint import load_weights_standalone
+        variables = load_weights_standalone(variables, args.weights,
+                                            report_dir=args.out)
 
     art = export_inference(model, variables, class_emb, args.out,
                            args.batch, args.height, args.width,
@@ -115,60 +111,6 @@ def _init(model, image, hw, class_emb):
     import jax
     return model.init(jax.random.PRNGKey(0), _dummy_batch(image, hw),
                       class_emb, method=model.inference)
-
-
-def _load_weights(cfg, variables, weights, out_dir):
-    """Mirror OVRTrainer.load_pretrained for a standalone export
-    (engine/trainer.py:load_pretrained), including the LSM->STT rename
-    fan-out, without building loaders/datasets."""
-    import json
-
-    import jax
-    import jax.numpy as jnp
-
-    from locov_tpu.utils.checkpoint import (Checkpointer,
-                                            STT_FROM_LSM_RENAME,
-                                            convert_caffe2_resnet,
-                                            convert_d2_state_dict,
-                                            flatten_params,
-                                            load_torch_file,
-                                            load_with_rename_map,
-                                            unflatten_params)
-
-    flat_dst = flatten_params(variables["params"])
-    if weights.endswith((".pth", ".pkl")):
-        state = load_torch_file(weights)
-        flat_src = convert_caffe2_resnet(state) \
-            if weights.endswith(".pkl") else convert_d2_state_dict(state)
-        extra = {}
-    else:
-        ck = Checkpointer(os.path.dirname(weights) or ".",
-                          use_async=False)
-        state = ck.load(weights)
-        src = state["params"] if "params" in state else state
-        if "params" in src:
-            src, extra = src["params"], {k: v for k, v in src.items()
-                                         if k != "params"}
-        else:
-            extra = {}
-        flat_src = flatten_params(src)
-    same = set(flat_src) == set(flat_dst)
-    rename = {} if same else STT_FROM_LSM_RENAME
-    merged, report = load_with_rename_map(flat_src, flat_dst, rename)
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "import_report.json"), "w") as f:
-        json.dump({"weights": weights, "loaded": report.loaded,
-                   "missing": report.missing,
-                   "mismatched": [list(m) for m in report.mismatched],
-                   "unused_src": report.unused_src}, f, indent=1)
-    print(report.summary())
-    out = dict(variables)
-    out["params"] = jax.tree.map(jnp.asarray, unflatten_params(merged))
-    # carry calibration collections (int8 'quant') if present
-    for k, v in (extra or {}).items():
-        if k in out:
-            out[k] = jax.tree.map(jnp.asarray, v)
-    return out
 
 
 if __name__ == "__main__":
