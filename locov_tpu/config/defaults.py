@@ -254,6 +254,10 @@ def get_default_cfg() -> CN:
     _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
     _C.DATALOADER.REPEAT_THRESHOLD = 0.0
     _C.DATALOADER.FILTER_EMPTY_ANNOTATIONS = True
+    # Parallel-map backend for the mapper workers: "threads" (default;
+    # decode/resize release the GIL) or "processes" (fork pool — GIL
+    # -free fallback for hosts where pure-Python mapper work binds).
+    _C.DATALOADER.WORKER_BACKEND = "threads"
 
     # ---------------------------------------------------------------- SOLVER
     _C.SOLVER = CN()

@@ -153,12 +153,20 @@ class DataLoader:
     For training: infinite iterator. For eval: finite; a final partial
     batch is filled by repeating the last record with image_id = -1 so
     the evaluator can drop padding images.
+
+    ``worker_backend`` selects the parallel-map implementation:
+    "threads" (default; decode/resize release the GIL, measured 100
+    img/s/core in tools/bench_loader.py) or "processes" — a fork-based
+    pool for hosts where pure-Python mapper work (tokenize, noise
+    injectors, box transforms) binds on the GIL at high worker counts
+    (the d2 reference always pays process-pool serialization;
+    we make it the fallback, not the default).
     """
 
     def __init__(self, records: Sequence[dict], mapper, sampler,
                  batch_size: int, buckets: Sequence[tuple],
                  gt_slots: int, has_text: bool, is_train: bool,
-                 num_workers: int = 0):
+                 num_workers: int = 0, worker_backend: str = "threads"):
         self.records = records
         self.mapper = mapper
         self.sampler = sampler
@@ -168,6 +176,11 @@ class DataLoader:
         self.has_text = has_text
         self.is_train = is_train
         self.num_workers = num_workers
+        if worker_backend not in ("threads", "processes"):
+            raise ValueError(
+                f"DATALOADER.WORKER_BACKEND must be 'threads' or "
+                f"'processes', got {worker_backend!r}")
+        self.worker_backend = worker_backend
 
     def __len__(self):
         try:
@@ -178,7 +191,10 @@ class DataLoader:
 
     def _mapped(self):
         it = iter(self.sampler)
-        if self.num_workers > 0:
+        if self.num_workers > 0 and self.worker_backend == "processes":
+            yield from _process_map(self.mapper, self.records, it,
+                                    self.num_workers)
+        elif self.num_workers > 0:
             yield from _thread_map(
                 lambda i: self.mapper(self.records[i]), it,
                 self.num_workers)
@@ -205,6 +221,74 @@ class DataLoader:
                 filler["image_id"] = np.int64(-1)
                 rs.append(filler)
             yield collate(rs, b, self.gt_slots, self.has_text)
+
+
+# Worker-process state, installed by _proc_init via fork inheritance
+# (initargs are NOT pickled under the fork start method, so the mapper
+# may hold unpicklable members like a loaded tokenizer).
+_PROC_STATE: dict = {}
+
+
+def _proc_init(mapper, records, seed_base):
+    import os
+    import random as _random
+
+    _PROC_STATE["mapper"] = mapper
+    _PROC_STATE["records"] = records
+    # fork duplicates the parent's RNG state into EVERY worker: without
+    # a per-worker reseed all workers draw identical augmentation /
+    # caption-choice / MLM-mask streams. Reseed from the pid.
+    wseed = (seed_base + os.getpid() * 7919) % (2 ** 31 - 1)
+    for attr in ("rng",):
+        r = getattr(mapper, attr, None)
+        if r is not None and hasattr(r, "seed"):
+            r.seed(wseed)
+    npr = getattr(mapper, "np_rng", None)
+    if npr is not None:
+        npr.seed(wseed)
+    _random.seed(wseed)
+    np.random.seed(wseed % (2 ** 31 - 1))
+
+
+def _proc_call(i):
+    return _PROC_STATE["mapper"](_PROC_STATE["records"][i])
+
+
+def _process_map(mapper, records, it, workers):
+    """Ordered parallel map on a fork-based process pool with the same
+    bounded in-flight window as ``_thread_map``.
+
+    GIL-free fallback (``DATALOADER.WORKER_BACKEND='processes'``) for
+    hosts where the pure-Python mapper slice (tokenize, noise
+    injectors) binds threads; costs one pickle of each mapped record
+    (~3 MB uint8 image) per transfer. apply_async + an explicit window
+    rather than ``Pool.imap`` because imap's feeder thread consumes the
+    (infinite training) sampler without bound.
+
+    Uses the fork start method deliberately (mapper state — tokenizer,
+    catalogs — is inherited, never pickled). Python >=3.12 warns about
+    fork in a multi-threaded parent; safe here because the workers run
+    only numpy/PIL/cv2 mapper code (no locks inherited mid-flight are
+    ever taken in the child), but keep this pool created BEFORE heavy
+    parent threading if that ever changes."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    pool = ctx.Pool(processes=workers, initializer=_proc_init,
+                    initargs=(mapper, records,
+                              getattr(mapper, "seed", 0) or 0))
+    depth = max(workers * 4, 1)
+    window: "queue_mod.Queue" = queue_mod.Queue()
+    try:
+        for i in it:
+            window.put(pool.apply_async(_proc_call, (i,)))
+            if window.qsize() >= depth:
+                yield window.get().get()
+        while not window.empty():
+            yield window.get().get()
+    finally:
+        pool.terminate()
+        pool.join()
 
 
 def _thread_map(fn, it, workers):

@@ -156,7 +156,8 @@ class OVRTrainer:
         return DataLoader(records, mapper, sampler, per_host, buckets,
                           gt_slots, has_text=self.needs_text,
                           is_train=True,
-                          num_workers=cfg.DATALOADER.NUM_WORKERS)
+                          num_workers=cfg.DATALOADER.NUM_WORKERS,
+                          worker_backend=cfg.DATALOADER.WORKER_BACKEND)
 
     def build_test_loader(self, cfg, dataset_name: str,
                           val: bool = False) -> DataLoader:
@@ -185,7 +186,8 @@ class OVRTrainer:
         return DataLoader(records, mapper, sampler, bs, buckets,
                           cfg.TPU.MAX_GT_BOXES,
                           has_text=self.needs_text, is_train=False,
-                          num_workers=cfg.DATALOADER.NUM_WORKERS)
+                          num_workers=cfg.DATALOADER.NUM_WORKERS,
+                          worker_backend=cfg.DATALOADER.WORKER_BACKEND)
 
     def load_embeddings(self, dataset_name: str) -> jnp.ndarray:
         """Fetch the class-embedding matrix registered for a dataset and

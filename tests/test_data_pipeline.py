@@ -186,3 +186,109 @@ def test_thread_map_infinite_iterator_window():
     got = [next(it) for _ in range(20)]
     assert got == list(range(20))
     assert len(pulled) <= 20 + 2 * 4 + 1  # window = workers * 4
+
+
+def test_process_map_ordered_and_propagates():
+    """Fork-pool map: order preserved, exceptions surface, bounded
+    window on an endless source (DATALOADER.WORKER_BACKEND=processes)."""
+    from itertools import count
+
+    from locov_tpu.data.loader import _process_map
+
+    vals = list(range(37))
+    out = list(_process_map(lambda r: r * r, vals, range(37), workers=2))
+    assert out == [i * i for i in range(37)]
+
+    def boom(r):
+        if r == 5:
+            raise ValueError("boom")
+        return r
+
+    with pytest.raises(ValueError, match="boom"):
+        list(_process_map(boom, vals, range(10), workers=2))
+
+    pulled = []
+
+    def src():
+        for i in count():
+            pulled.append(i % 37)
+            yield i % 37
+
+    it = _process_map(lambda r: r, vals, src(), workers=2)
+    got = [next(it) for _ in range(20)]
+    assert got == [i % 37 for i in range(20)]
+    assert len(pulled) <= 20 + 2 * 4 + 1  # window = workers * 4
+
+
+def test_process_map_reseeds_forked_workers():
+    """fork duplicates the mapper RNG into every worker; _proc_init must
+    reseed per-pid or all workers draw identical augmentation streams."""
+    import random
+    import time as _time
+
+    from locov_tpu.data.loader import _process_map
+
+    class DrawMapper:
+        def __init__(self):
+            self.rng = random.Random(0)
+            self.first = None
+
+        def __call__(self, r):
+            _time.sleep(0.002)  # encourage both workers to take tasks
+            if self.first is None:
+                self.first = self.rng.random()
+            return (os.getpid(), self.first)
+
+    out = list(_process_map(DrawMapper(), list(range(40)), range(40),
+                            workers=2))
+    first_by_pid = {}
+    for pid, draw in out:
+        first_by_pid.setdefault(pid, draw)
+    if len(first_by_pid) >= 2:  # both workers participated
+        draws = list(first_by_pid.values())
+        assert len(set(draws)) == len(draws), (
+            "forked workers produced identical RNG streams")
+
+
+def test_loader_process_backend_matches_serial(tmp_path, rng):
+    """processes backend must be byte-identical to the serial path for a
+    deterministic (eval) mapper."""
+    root = str(tmp_path)
+    make_micro_coco(root, n_val=5)
+    from locov_tpu.data import DatasetCatalog, MetadataCatalog
+    from locov_tpu.data.datasets.coco import register_dataset
+    from locov_tpu.data.mappers import DetectionMapper
+    for name in list(DatasetCatalog._registry):
+        DatasetCatalog.remove(name)
+    for name in list(MetadataCatalog._store):
+        MetadataCatalog.remove(name)
+    register_dataset("coco_zeroshot_val", root)
+    records = DatasetCatalog.get("coco_zeroshot_val")
+    meta = MetadataCatalog.get("coco_zeroshot_val")
+    cfg = micro_cfg(root, "OvrRCNN")
+    mapper = DetectionMapper(cfg, meta, is_train=False, seed=0)
+
+    def batches(workers, backend):
+        loader = DataLoader(records, mapper,
+                            InferenceSampler(len(records)),
+                            batch_size=2, buckets=[(96, 96)], gt_slots=8,
+                            has_text=False, is_train=False,
+                            num_workers=workers, worker_backend=backend)
+        return list(loader)
+
+    serial = batches(0, "threads")
+    forked = batches(2, "processes")
+    assert len(serial) == len(forked)
+    import jax
+    for a, b in zip(serial, forked):
+        la = jax.tree_util.tree_leaves(a)
+        lb = jax.tree_util.tree_leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    with pytest.raises(ValueError, match="WORKER_BACKEND"):
+        DataLoader(records, mapper, InferenceSampler(len(records)),
+                   batch_size=2, buckets=[(96, 96)], gt_slots=8,
+                   has_text=False, is_train=False, num_workers=2,
+                   worker_backend="greenlets")

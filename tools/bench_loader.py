@@ -63,7 +63,8 @@ def make_dataset(root: str, n_images: int, seed: int = 0):
     return records, captions, proposals
 
 
-def build_loader(records, captions, proposals, batch, workers):
+def build_loader(records, captions, proposals, batch, workers,
+                 backend="threads"):
     from locov_tpu.config import config_path, get_cfg
     from locov_tpu.data.loader import (DataLoader, TrainingSampler,
                                        derive_buckets)
@@ -86,7 +87,8 @@ def build_loader(records, captions, proposals, batch, workers):
     return DataLoader(records, mapper, sampler, batch,
                       derive_buckets(cfg, True),
                       gt_slots=cfg.TPU.MAX_GT_BOXES, has_text=True,
-                      is_train=True, num_workers=workers)
+                      is_train=True, num_workers=workers,
+                      worker_backend=backend)
 
 
 def measure(loader, batch, seconds):
@@ -108,6 +110,9 @@ def main():
     ap.add_argument("--workers", type=int, nargs="+", default=[0, 4, 8])
     ap.add_argument("--device-rate", type=float, default=33.1,
                     help="img/s the device consumes (PERF.md)")
+    ap.add_argument("--backend", default="threads",
+                    choices=["threads", "processes"],
+                    help="DATALOADER.WORKER_BACKEND to benchmark")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as root:
@@ -116,7 +121,8 @@ def main():
         results = {}
         for w in args.workers:
             loader = build_loader(records, captions, proposals,
-                                  args.batch, w)
+                                  args.batch, w,
+                                  backend=args.backend if w else "threads")
             ips = measure(loader, args.batch, args.seconds)
             results[w] = round(ips, 1)
             print(f"workers={w}: {ips:.1f} img/s "
