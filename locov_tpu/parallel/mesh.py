@@ -71,6 +71,7 @@ class DevicePrefetcher:
         import threading
         self._q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
         self._stop = object()
+        self._done = False
 
         def worker():
             try:
@@ -89,10 +90,17 @@ class DevicePrefetcher:
         return self
 
     def __next__(self):
+        # iterator protocol: once exhausted (or errored), every further
+        # next() must raise again — blocking on the drained queue would
+        # hang any consumer that probes past the end (zip, itertools).
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is self._stop:
+            self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
+            self._done = True
             raise item
         return item
 

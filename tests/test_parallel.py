@@ -142,3 +142,33 @@ def test_gradient_accumulation_inside_mesh_step():
     # same data both micro-steps -> applied update == -0.1 * acc_grad
     np.testing.assert_allclose(np.asarray(p2["params"]["w"]) - w0,
                                -0.1 * acc, rtol=1e-5, atol=1e-7)
+
+
+def test_device_prefetcher_order_stop_and_errors():
+    """DevicePrefetcher: preserves order, device-puts with the batch
+    sharding, raises StopIteration at source end, and surfaces worker
+    exceptions on the consumer side."""
+    from locov_tpu.parallel import DevicePrefetcher
+
+    mesh = get_mesh()
+    batches = [{"x": np.full((8, 4), i, np.float32)} for i in range(5)]
+    pf = DevicePrefetcher(iter(batches), mesh, depth=2)
+    got = list(pf)
+    assert len(got) == 5
+    for i, b in enumerate(got):
+        assert float(b["x"][0, 0]) == i  # order preserved
+        # placed with the batch sharding over the mesh
+        assert b["x"].sharding.mesh.shape == mesh.shape
+    with pytest.raises(StopIteration):
+        next(pf)
+
+    def boom_source():
+        yield {"x": np.zeros((8, 4), np.float32)}
+        raise RuntimeError("decode failed")
+
+    pf = DevicePrefetcher(boom_source(), mesh, depth=2)
+    next(pf)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(pf)
+    with pytest.raises(StopIteration):  # errored => exhausted, no hang
+        next(pf)
