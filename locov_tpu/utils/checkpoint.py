@@ -134,6 +134,11 @@ class Checkpointer:
     def save_best(self, iteration: int, state: dict, metric_name: str,
                   metric_value: float) -> str:
         path = self.save_named("model_best", state)
+        # The JSON sidecar is resume metadata: it must never be visible
+        # before the checkpoint it describes is committed (an async save
+        # is still in flight here). Best-saves happen at eval time, so
+        # blocking on the commit barrier costs nothing per step.
+        self.wait()
         with open(self._path("model_best.json"), "w") as f:
             json.dump({"iteration": iteration, "metric": metric_name,
                        "value": metric_value}, f)
