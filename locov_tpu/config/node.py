@@ -79,10 +79,19 @@ class CfgNode(dict):
         _merge_into(other, self, [])
 
     def merge_from_file(self, path: str, allow_unsafe: bool = True) -> None:
+        import os
         with open(path, "r") as f:
             loaded = yaml.safe_load(f)
         if loaded is None:
             return
+        # d2-style config inheritance: merge the base file first, then
+        # this file's overrides on top (used by coco_lsm_global.yaml)
+        base = loaded.pop("_BASE_", None)
+        if base:
+            if not os.path.isabs(base):
+                base = os.path.join(os.path.dirname(os.path.abspath(path)),
+                                    base)
+            self.merge_from_file(base, allow_unsafe)
         _merge_into(CfgNode(loaded), self, [])
 
     def merge_from_list(self, opts: List[str]) -> None:

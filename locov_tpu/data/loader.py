@@ -99,7 +99,7 @@ def _pad_rows(arr: np.ndarray, n: int, fill=0):
 
 
 def collate(records: List[dict], bucket, gt_slots: int,
-            has_text: bool) -> DetectionBatch:
+            has_text: bool, proposal_slots: int = 0) -> DetectionBatch:
     """Stack fixed-size records into one static DetectionBatch.
 
     Images land in ONE preallocated float32 buffer: the uint8->f32
@@ -130,6 +130,23 @@ def collate(records: List[dict], bucket, gt_slots: int,
     gt = gt_batch("gt_")
     gt_obj = gt_batch("gt_obj_") if "gt_obj_boxes" in records[0] else None
 
+    # precomputed (OLN) proposals as MODEL INPUTS — filled only for the
+    # RPN-less PrecomputedProposals path (reference ovr_rcnn.py:59-61)
+    proposals = None
+    if proposal_slots > 0 and "proposal_boxes" in records[0]:
+        from ..structures.batches import ProposalBatch
+        pboxes = np.stack([_pad_rows(r["proposal_boxes"], proposal_slots)
+                           for r in records])
+        pobj = np.stack([
+            _pad_rows(r["proposal_objectness"], proposal_slots,
+                      fill=-1e4) for r in records])
+        pmask = np.stack([
+            np.arange(proposal_slots) < len(r["proposal_boxes"])
+            for r in records])
+        proposals = ProposalBatch(boxes=pboxes.astype(np.float32),
+                                  objectness=pobj.astype(np.float32),
+                                  mask=pmask)
+
     text = None
     if has_text and "input_ids" in records[0]:
         text = TextBatch(
@@ -144,7 +161,7 @@ def collate(records: List[dict], bucket, gt_slots: int,
     return DetectionBatch(
         images=ImageBatch(image=images, hw=hw, orig_hw=orig_hw,
                           image_id=image_id),
-        gt=gt, proposals=None, text=text, gt_obj=gt_obj)
+        gt=gt, proposals=proposals, text=text, gt_obj=gt_obj)
 
 
 class DataLoader:
@@ -166,7 +183,9 @@ class DataLoader:
     def __init__(self, records: Sequence[dict], mapper, sampler,
                  batch_size: int, buckets: Sequence[tuple],
                  gt_slots: int, has_text: bool, is_train: bool,
-                 num_workers: int = 0, worker_backend: str = "threads"):
+                 num_workers: int = 0, worker_backend: str = "threads",
+                 seed: int = None, rank: int = 0,
+                 proposal_slots: int = 0):
         self.records = records
         self.mapper = mapper
         self.sampler = sampler
@@ -181,6 +200,43 @@ class DataLoader:
                 f"DATALOADER.WORKER_BACKEND must be 'threads' or "
                 f"'processes', got {worker_backend!r}")
         self.worker_backend = worker_backend
+        self.proposal_slots = proposal_slots
+        # per-worker seed base: configured seed (falling back to the
+        # mapper's) mixed with the host rank so multi-host pods never
+        # draw identical augmentation/MLM streams
+        if seed is None:
+            seed = getattr(mapper, "seed", 0) or 0
+        self._seed_base = (int(seed) * 1000003 + int(rank) * 7919) \
+            % (2 ** 31 - 1)
+        self._pool = None
+        # the fork pool is created EAGERLY, before the trainer starts
+        # the DevicePrefetcher thread or async orbax commits — forking
+        # a multi-threaded parent risks a child inheriting a held lock
+        if num_workers > 0 and worker_backend == "processes":
+            self._pool = _make_pool(mapper, records, num_workers,
+                                    self._seed_base)
+
+    def close(self):
+        """Terminate the worker pool deterministically. Without this an
+        abandoned training loader keeps num_workers live processes (and
+        up to workers*4 in-flight ~3MB results) until GC collects the
+        generator."""
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self):
         try:
@@ -192,8 +248,11 @@ class DataLoader:
     def _mapped(self):
         it = iter(self.sampler)
         if self.num_workers > 0 and self.worker_backend == "processes":
-            yield from _process_map(self.mapper, self.records, it,
-                                    self.num_workers)
+            if self._pool is None:  # re-opened after close()
+                self._pool = _make_pool(self.mapper, self.records,
+                                        self.num_workers, self._seed_base)
+            yield from _pool_map(self._pool, it, self.num_workers,
+                                 self._seed_base)
         elif self.num_workers > 0:
             yield from _thread_map(
                 lambda i: self.mapper(self.records[i]), it,
@@ -210,7 +269,8 @@ class DataLoader:
             queues[b].append(rec)
             count += 1
             if len(queues[b]) == self.batch_size:
-                yield collate(queues[b], b, self.gt_slots, self.has_text)
+                yield collate(queues[b], b, self.gt_slots, self.has_text,
+                              self.proposal_slots)
                 queues[b] = []
         # finite epoch: flush leftovers as padded batches
         for b, rs in queues.items():
@@ -220,7 +280,8 @@ class DataLoader:
                 filler = dict(rs[-1])
                 filler["image_id"] = np.int64(-1)
                 rs.append(filler)
-            yield collate(rs, b, self.gt_slots, self.has_text)
+            yield collate(rs, b, self.gt_slots, self.has_text,
+                          self.proposal_slots)
 
 
 # Worker-process state, installed by _proc_init via fork inheritance
@@ -229,33 +290,60 @@ class DataLoader:
 _PROC_STATE: dict = {}
 
 
-def _proc_init(mapper, records, seed_base):
-    import os
+def _proc_init(mapper, records, seed_base, counter):
     import random as _random
 
     _PROC_STATE["mapper"] = mapper
     _PROC_STATE["records"] = records
-    # fork duplicates the parent's RNG state into EVERY worker: without
-    # a per-worker reseed all workers draw identical augmentation /
-    # caption-choice / MLM-mask streams. Reseed from the pid.
-    wseed = (seed_base + os.getpid() * 7919) % (2 ** 31 - 1)
-    for attr in ("rng",):
-        r = getattr(mapper, attr, None)
-        if r is not None and hasattr(r, "seed"):
-            r.seed(wseed)
-    npr = getattr(mapper, "np_rng", None)
-    if npr is not None:
-        npr.seed(wseed)
+    # fork duplicates the parent's RNG state into EVERY worker; reseed
+    # the process-global RNGs per worker (the mapper's own RNGs are
+    # reseeded PER TASK in _proc_call — see there for why). The worker
+    # index comes from a shared counter, not the pid, so seeds are
+    # deterministic across runs/hosts.
+    with counter.get_lock():
+        widx = counter.value
+        counter.value += 1
+    wseed = (seed_base + (widx + 1) * 100003) % (2 ** 31 - 1)
     _random.seed(wseed)
     np.random.seed(wseed % (2 ** 31 - 1))
 
 
-def _proc_call(i):
-    return _PROC_STATE["mapper"](_PROC_STATE["records"][i])
+def _proc_call(i, tseed):
+    """Map one record with PER-TASK mapper reseeding: the task seed is
+    derived from (cfg seed, host rank, task ordinal) on the parent, so
+    augmentation/MLM draws are reproducible for a fixed cfg.SEED no
+    matter which worker picks up which task (per-WORKER streams would
+    make output depend on the racy task->worker assignment), distinct
+    across hosts, and distinct when the sampler revisits a record in a
+    later epoch (the ordinal keeps advancing)."""
+    mapper = _PROC_STATE["mapper"]
+    r = getattr(mapper, "rng", None)
+    if r is not None and hasattr(r, "seed"):
+        r.seed(tseed)
+    npr = getattr(mapper, "np_rng", None)
+    if npr is not None:
+        npr.seed(tseed % (2 ** 31 - 1))
+    return mapper(_PROC_STATE["records"][i])
 
 
-def _process_map(mapper, records, it, workers):
-    """Ordered parallel map on a fork-based process pool with the same
+def _make_pool(mapper, records, workers, seed_base):
+    """Fork-based worker pool with deterministic per-worker seeding.
+
+    Uses the fork start method deliberately (mapper state — tokenizer,
+    catalogs — is inherited, never pickled). Fork from a multi-threaded
+    parent is hazardous (a child can inherit a held lock), which is why
+    DataLoader creates this pool EAGERLY at construction time, before
+    the DevicePrefetcher thread / async checkpointing exist."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    counter = ctx.Value("i", 0)
+    return ctx.Pool(processes=workers, initializer=_proc_init,
+                    initargs=(mapper, records, seed_base, counter))
+
+
+def _pool_map(pool, it, workers, seed_base=0):
+    """Ordered parallel map on a persistent process pool with the same
     bounded in-flight window as ``_thread_map``.
 
     GIL-free fallback (``DATALOADER.WORKER_BACKEND='processes'``) for
@@ -263,29 +351,26 @@ def _process_map(mapper, records, it, workers):
     injectors) binds threads; costs one pickle of each mapped record
     (~3 MB uint8 image) per transfer. apply_async + an explicit window
     rather than ``Pool.imap`` because imap's feeder thread consumes the
-    (infinite training) sampler without bound.
-
-    Uses the fork start method deliberately (mapper state — tokenizer,
-    catalogs — is inherited, never pickled). Python >=3.12 warns about
-    fork in a multi-threaded parent; safe here because the workers run
-    only numpy/PIL/cv2 mapper code (no locks inherited mid-flight are
-    ever taken in the child), but keep this pool created BEFORE heavy
-    parent threading if that ever changes."""
-    import multiprocessing as mp
-
-    ctx = mp.get_context("fork")
-    pool = ctx.Pool(processes=workers, initializer=_proc_init,
-                    initargs=(mapper, records,
-                              getattr(mapper, "seed", 0) or 0))
+    (infinite training) sampler without bound. The pool outlives this
+    generator; DataLoader.close() tears it down. Each task carries its
+    own seed (see _proc_call) so results don't depend on scheduling."""
     depth = max(workers * 4, 1)
     window: "queue_mod.Queue" = queue_mod.Queue()
-    try:
-        for i in it:
-            window.put(pool.apply_async(_proc_call, (i,)))
-            if window.qsize() >= depth:
-                yield window.get().get()
-        while not window.empty():
+    for task_no, i in enumerate(it):
+        tseed = (seed_base + (task_no + 1) * 100003) % (2 ** 31 - 1)
+        window.put(pool.apply_async(_proc_call, (i, tseed)))
+        if window.qsize() >= depth:
             yield window.get().get()
+    while not window.empty():
+        yield window.get().get()
+
+
+def _process_map(mapper, records, it, workers, seed_base=0):
+    """One-shot convenience wrapper: ephemeral pool + _pool_map
+    (kept for tests/tools; DataLoader uses its persistent pool)."""
+    pool = _make_pool(mapper, records, workers, seed_base)
+    try:
+        yield from _pool_map(pool, it, workers, seed_base)
     finally:
         pool.terminate()
         pool.join()

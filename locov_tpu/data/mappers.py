@@ -173,6 +173,10 @@ class DetectionMapper:
         self.use_proposals = (cfg.MODEL.LOAD_OBJ_PROPOSALS
                               and metadata.get("object_proposals"))
         self.max_proposals = cfg.TPU.MAX_PRECOMPUTED_PROPOSALS
+        # RPN-less meta-arch: proposals are MODEL INPUTS, so the record
+        # must carry them past change_proposals_as_gt
+        self.emit_proposals = (cfg.MODEL.PROPOSAL_GENERATOR.NAME
+                               == "PrecomputedProposals")
         self.tokenizer = tokenizer
         self.text_max_len = text_max_len or cfg.TPU.TEXT_MAX_LEN
         self.mlm = mlm
@@ -185,6 +189,10 @@ class DetectionMapper:
             offline=cfg.INPUT.NOISE_OFFLINE, bbox=cfg.INPUT.NOISE_BBOX,
             cls=cfg.INPUT.NOISE_CLS, rm=cfg.INPUT.NOISE_RM_BBOX,
             loc=cfg.INPUT.NOISE_LOC, ign=cfg.INPUT.NOISE_IGN)
+        # keep the configured seed visible: the process-pool loader
+        # derives per-worker seeds from it (loader._proc_init) — without
+        # this attribute cfg.SEED silently never reached the workers
+        self.seed = seed
         self.rng = random.Random(seed)
         self.np_rng = np.random.RandomState(seed)
 
@@ -283,7 +291,13 @@ class DetectionMapper:
                 caption = "A black image."
             record["caption"] = caption
 
-        # OLN proposals -> binary gt (change_proposals_as_gt)
+        # OLN proposals: transformed like gt boxes, then (a) emitted as
+        # model-input proposals when the meta-arch runs WITHOUT an RPN
+        # (reference ovr_rcnn.py:59-61 / distill_prop_mmss_gcnn.py:243-250
+        # read batched_inputs["proposals"] when
+        # MODEL.PROPOSAL_GENERATOR.NAME == 'PrecomputedProposals'), and
+        # (b) converted to binary gt (change_proposals_as_gt,
+        # coco_mappers.py:88-106)
         if self.use_proposals:
             proposals = self.metadata.get("object_proposals").get(
                 d["image_id"])
@@ -298,17 +312,26 @@ class DetectionMapper:
                 elif flipped:
                     pboxes = Tr.vflip_boxes(pboxes, nh)
                 pboxes = Tr.clip_boxes(pboxes, (nh, nw))
-                sel = pobj > 0.7
-                sel &= Tr.nonempty_boxes(pboxes)
-                pboxes, pobj = pboxes[sel], pobj[sel]
-                if len(pboxes) > self.max_proposals:
-                    order = np.argsort(-pobj)[:self.max_proposals]
-                    pboxes, pobj = pboxes[order], pobj[order]
+                nonempty = Tr.nonempty_boxes(pboxes)
+                if self.emit_proposals:
+                    # model-input proposals: top-K by objectness (d2
+                    # transform_proposals semantics,
+                    # DATASETS.PRECOMPUTED_PROPOSAL_TOPK_*)
+                    keep_p = np.flatnonzero(nonempty)
+                    order_p = keep_p[np.argsort(-pobj[keep_p])]
+                    order_p = order_p[:self.max_proposals]
+                    record["proposal_boxes"] = pboxes[order_p]
+                    record["proposal_objectness"] = pobj[order_p]
+                sel = (pobj > 0.7) & nonempty
+                gboxes, gobj = pboxes[sel], pobj[sel]
+                if len(gboxes) > self.max_proposals:
+                    order = np.argsort(-gobj)[:self.max_proposals]
+                    gboxes, gobj = gboxes[order], gobj[order]
                 # real gt stashed aside; proposals become binary gt
                 record["gt_obj_boxes"] = record["gt_boxes"]
                 record["gt_obj_classes"] = record["gt_classes"]
-                record["gt_boxes"] = pboxes
-                record["gt_classes"] = np.ones(len(pboxes), np.int32)
+                record["gt_boxes"] = gboxes
+                record["gt_classes"] = np.ones(len(gboxes), np.int32)
 
         # tokenization + MLM
         if self.tokenizer is not None and "caption" in record:

@@ -50,6 +50,21 @@ LSM_ARCHS = {"DistillProposalMMSSRCNN", "DistillOnlyProposalMMSSRCNN",
              "MMSSGridModel", "DistillMMSSGridModel"}
 
 
+def proposal_slots(cfg) -> int:
+    """Static proposal-slot count for the RPN-less PrecomputedProposals
+    path (reference ovr_rcnn.py:59-61); 0 keeps DetectionBatch.proposals
+    empty on the RPN path. Module-level (not a trainer method) so eval
+    harnesses that borrow the loader builders get it too."""
+    if cfg.MODEL.PROPOSAL_GENERATOR.NAME != "PrecomputedProposals":
+        return 0
+    if not cfg.MODEL.LOAD_OBJ_PROPOSALS:
+        raise ValueError(
+            "MODEL.PROPOSAL_GENERATOR.NAME='PrecomputedProposals' "
+            "requires MODEL.LOAD_OBJ_PROPOSALS=True so the data "
+            "pipeline can attach the OLN proposals as model inputs.")
+    return cfg.TPU.MAX_PRECOMPUTED_PROPOSALS
+
+
 def build_tokenizer(cfg) -> Optional[WordPieceTokenizer]:
     path = cfg.MODEL.LANGUAGE_BACKBONE.VOCAB_PATH
     if path and os.path.exists(path):
@@ -157,7 +172,10 @@ class OVRTrainer:
                           gt_slots, has_text=self.needs_text,
                           is_train=True,
                           num_workers=cfg.DATALOADER.NUM_WORKERS,
-                          worker_backend=cfg.DATALOADER.WORKER_BACKEND)
+                          worker_backend=cfg.DATALOADER.WORKER_BACKEND,
+                          seed=max(cfg.SEED, 0),
+                          rank=jax.process_index(),
+                          proposal_slots=proposal_slots(cfg))
 
     def build_test_loader(self, cfg, dataset_name: str,
                           val: bool = False) -> DataLoader:
@@ -187,7 +205,9 @@ class OVRTrainer:
                           cfg.TPU.MAX_GT_BOXES,
                           has_text=self.needs_text, is_train=False,
                           num_workers=cfg.DATALOADER.NUM_WORKERS,
-                          worker_backend=cfg.DATALOADER.WORKER_BACKEND)
+                          worker_backend=cfg.DATALOADER.WORKER_BACKEND,
+                          seed=0, rank=jax.process_index(),
+                          proposal_slots=proposal_slots(cfg))
 
     def load_embeddings(self, dataset_name: str) -> jnp.ndarray:
         """Fetch the class-embedding matrix registered for a dataset and
@@ -375,28 +395,34 @@ class OVRTrainer:
     def train(self):
         cfg = self.cfg
         logger.info("Starting training from iteration %d", self.start_iter)
-        if cfg.TEST.EVAL_INIT and self.start_iter == 0:
-            self.test_and_maybe_save()
-        prof_dir = cfg.TPU.PROFILE_DIR
-        for it in range(self.start_iter, self.max_iter):
-            self.storage.iter = it
-            if prof_dir and it == cfg.TPU.PROFILE_START:
-                jax.profiler.start_trace(prof_dir)
-            self.run_step()
-            if prof_dir and it == cfg.TPU.PROFILE_STOP:
-                self.flush_metrics()
-                jax.profiler.stop_trace()
-            self.after_step(it)
-        self.flush_metrics()
-        # final checkpoint + eval
-        self.checkpointer.save_named(
-            "model_final", {"params": self.params,
-                            "opt_state": self.opt_state,
-                            "iteration": self.max_iter - 1})
-        results = self.test_and_maybe_save(final=True)
-        # commit the in-flight async save (it overlapped the final eval)
-        self.checkpointer.wait()
-        return results
+        try:
+            if cfg.TEST.EVAL_INIT and self.start_iter == 0:
+                self.test_and_maybe_save()
+            prof_dir = cfg.TPU.PROFILE_DIR
+            for it in range(self.start_iter, self.max_iter):
+                self.storage.iter = it
+                if prof_dir and it == cfg.TPU.PROFILE_START:
+                    jax.profiler.start_trace(prof_dir)
+                self.run_step()
+                if prof_dir and it == cfg.TPU.PROFILE_STOP:
+                    self.flush_metrics()
+                    jax.profiler.stop_trace()
+                self.after_step(it)
+            self.flush_metrics()
+            # final checkpoint + eval
+            self.checkpointer.save_named(
+                "model_final", {"params": self.params,
+                                "opt_state": self.opt_state,
+                                "iteration": self.max_iter - 1})
+            results = self.test_and_maybe_save(final=True)
+            # commit the in-flight async save (it overlapped the eval)
+            self.checkpointer.wait()
+            return results
+        finally:
+            # deterministic worker-pool teardown (ADVICE r3): an
+            # abandoned loader otherwise leaks its worker processes
+            # until GC
+            self.train_loader.close()
 
     def after_step(self, it: int):
         cfg = self.cfg
@@ -461,11 +487,14 @@ class OVRTrainer:
         n = max(1, cfg.TPU.INT8_CALIB_BATCHES)
         logger.info("Calibrating int8 activation scales on %d batches "
                     "of %s...", n, dataset_name)
-        for idx, batch in enumerate(loader):
-            if idx >= n:
-                break
-            quant = step(self.params, batch, class_emb)
-            self.params = {**self.params, "quant": quant}
+        try:
+            for idx, batch in enumerate(loader):
+                if idx >= n:
+                    break
+                quant = step(self.params, batch, class_emb)
+                self.params = {**self.params, "quant": quant}
+        finally:
+            loader.close()
 
     def test(self, cfg) -> Dict[str, Dict]:
         eval_step, loss_step = self._get_eval_steps()
@@ -497,6 +526,7 @@ class OVRTrainer:
                         eval_step, self.params, loader, class_emb,
                         dataset_name, etype=etype)
                 res.update(det)
+            loader.close()
             results[dataset_name] = res
             logger.info("Results for %s: %s", dataset_name,
                         {k: round(v, 3) for k, v in res.items()

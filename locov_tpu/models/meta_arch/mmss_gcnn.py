@@ -375,7 +375,8 @@ class DistillProposalMMSSRCNN(nn.Module):
         proposals = self._proposals(features, images, gt, True, losses,
                                     r_rpn)
         if proposals is None:
-            proposals = batch.proposals
+            from .ovr_rcnn import _require_proposals
+            proposals = _require_proposals(batch)
 
         sampled = label_and_sample_proposals(proposals, gt, self.rcfg,
                                              r_sample)
@@ -436,7 +437,8 @@ class DistillProposalMMSSRCNN(nn.Module):
         features = self.backbone(x)["res4"]
         proposals = self._proposals(features, images, None, False, {})
         if proposals is None:
-            proposals = batch.proposals
+            from .ovr_rcnn import _require_proposals
+            proposals = _require_proposals(batch)
         box_feats = self.roi_heads.roi_features(features, proposals.boxes)
         box_feats = box_feats.astype(jnp.float32)
         b, s, c = box_feats.shape

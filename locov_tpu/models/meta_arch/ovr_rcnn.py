@@ -31,6 +31,43 @@ from ..rpn import (RPNConfig, RPNHead, generate_cell_anchors, grid_anchors,
 from .. import register_meta_arch
 
 
+def normalize_and_zero_pad(images: ImageBatch, pixel_mean, pixel_std,
+                           dtype) -> jnp.ndarray:
+    """(x - mean) / std, with the padding region forced to ZERO.
+
+    d2's ImageList.from_tensors pads AFTER normalization, so the pad
+    value every conv sees is exactly 0; our collator pads the raw
+    canvas with zeros BEFORE normalization, which would leave
+    -mean/std in the pad region (up to ~-120 under Caffe2 PIXEL_STD=1)
+    and corrupt features within a receptive field of the valid edge —
+    a silent AP-parity risk caught while composing the end-to-end
+    torch golden."""
+    mean = jnp.asarray(pixel_mean, jnp.float32)
+    std = jnp.asarray(pixel_std, jnp.float32)
+    x = (images.image - mean) / std
+    h = jnp.arange(x.shape[1], dtype=jnp.int32)
+    w = jnp.arange(x.shape[2], dtype=jnp.int32)
+    valid = ((h[None, :, None] < images.hw[:, 0, None, None]) &
+             (w[None, None, :] < images.hw[:, 1, None, None]))
+    x = jnp.where(valid[..., None], x, 0.0)
+    return x.astype(dtype)
+
+
+def _require_proposals(batch: DetectionBatch):
+    """PrecomputedProposals path (reference ovr_rcnn.py:59-61): the
+    loader fills DetectionBatch.proposals from the OLN pkl when
+    MODEL.LOAD_OBJ_PROPOSALS is on and the dataset registers
+    object_proposals; anything else is a config error."""
+    if batch.proposals is None:
+        raise ValueError(
+            "MODEL.PROPOSAL_GENERATOR.NAME='PrecomputedProposals' needs "
+            "precomputed proposals in the batch: set "
+            "MODEL.LOAD_OBJ_PROPOSALS=True and use a dataset registered "
+            "with object proposals (the OLN pkl), or switch back to "
+            "MODEL.PROPOSAL_GENERATOR.NAME='RPN'.")
+    return batch.proposals
+
+
 @register_meta_arch("OvrRCNN")
 class OvrRCNN(nn.Module):
     """cfg-derived static configuration + submodules."""
@@ -114,10 +151,8 @@ class OvrRCNN(nn.Module):
 
     # ---------------------------------------------------------------- utils
     def preprocess(self, images: ImageBatch) -> jnp.ndarray:
-        mean = jnp.asarray(self.pixel_mean, jnp.float32)
-        std = jnp.asarray(self.pixel_std, jnp.float32)
-        x = (images.image - mean) / std
-        return x.astype(self.compute_dtype)
+        return normalize_and_zero_pad(images, self.pixel_mean,
+                                      self.pixel_std, self.compute_dtype)
 
     def run_rpn(self, features: jnp.ndarray, images: ImageBatch,
                 training: bool) -> Tuple[jnp.ndarray, jnp.ndarray,
@@ -153,8 +188,7 @@ class OvrRCNN(nn.Module):
                 jax.lax.stop_gradient(deltas), images.hw, self.rpn_cfg,
                 training=True)
         else:
-            assert batch.proposals is not None
-            proposals = batch.proposals
+            proposals = _require_proposals(batch)
 
         rng, k = jax.random.split(rng)
         sampled = label_and_sample_proposals(proposals, batch.gt,
@@ -195,8 +229,7 @@ class OvrRCNN(nn.Module):
                                          images.hw, self.rpn_cfg,
                                          training=False)
         else:
-            assert batch.proposals is not None
-            proposals = batch.proposals
+            proposals = _require_proposals(batch)
 
         box_feats = self.roi_heads.roi_features(features, proposals.boxes,
                                                 int8=int8_mode)

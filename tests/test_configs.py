@@ -152,3 +152,30 @@ def test_shipped_yaml_matches_reference(name):
     # cluster scratch space)
     ours.pop("OUTPUT_DIR"), ref.pop("OUTPUT_DIR")
     assert ours == ref
+
+
+def test_global_contrastive_yaml_inherits_lsm():
+    """coco_lsm_global.yaml = coco_lsm.yaml + the TPU scope overrides
+    (_BASE_ inheritance): the training recipe must stay value-identical
+    so the only delta vs the blessed LSM run is the contrastive scope."""
+    base = get_cfg()
+    base.merge_from_file(config_path("coco_lsm.yaml"))
+    glob = get_cfg()
+    glob.merge_from_file(config_path("coco_lsm_global.yaml"))
+    assert glob.TPU.CONTRASTIVE_SCOPE == "global"
+    assert glob.TPU.PAIRWISE_CHUNK == 128
+    # everything else identical to the stage-1 recipe
+    def flat(node, prefix=""):
+        out = {}
+        for k in node:
+            v = node[k]
+            if hasattr(v, "keys"):
+                out.update(flat(v, prefix + k + "."))
+            else:
+                out[prefix + k] = v
+        return out
+    fb, fg = flat(base), flat(glob)
+    assert set(fb) == set(fg)
+    diffs = {k for k in fb if fb[k] != fg[k]}
+    assert diffs == {"TPU.CONTRASTIVE_SCOPE", "TPU.PAIRWISE_CHUNK",
+                     "OUTPUT_DIR"}, diffs

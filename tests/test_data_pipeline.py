@@ -292,3 +292,84 @@ def test_loader_process_backend_matches_serial(tmp_path, rng):
                    batch_size=2, buckets=[(96, 96)], gt_slots=8,
                    has_text=False, is_train=False, num_workers=2,
                    worker_backend="greenlets")
+
+
+def test_process_workers_deterministic_and_rank_dependent():
+    """ADVICE r3: worker seeds must derive from (cfg seed, host rank,
+    worker index) — not the pid — so a fixed SEED reproduces identical
+    streams across runs and different hosts draw different streams."""
+    import random
+
+    from locov_tpu.data.loader import _process_map
+
+    class DrawMapper:
+        seed = 0
+
+        def __init__(self):
+            self.rng = random.Random(0)
+
+        def __call__(self, r):
+            return self.rng.random()
+
+    def draws(seed_base):
+        return list(_process_map(DrawMapper(), list(range(8)), range(8),
+                                 workers=2, seed_base=seed_base))
+
+    a, b = draws(123), draws(123)
+    # ordered equality: per-TASK seeding makes each record's draws
+    # independent of the racy task->worker assignment
+    assert a == b, "same seed_base must reproduce the same streams"
+    c = draws(456)
+    assert a != c, "different seed_base must change the streams"
+    assert len(set(a)) == len(a), "tasks must not share RNG draws"
+
+
+def test_dataloader_eager_pool_and_close(tmp_path, rng):
+    """The fork pool is created at construction (before any prefetch
+    thread exists) and close() terminates it deterministically."""
+    root = str(tmp_path)
+    make_micro_coco(root, n_val=4)
+    from locov_tpu.data import DatasetCatalog, MetadataCatalog
+    from locov_tpu.data.datasets.coco import register_dataset
+    from locov_tpu.data.mappers import DetectionMapper
+    for name in list(DatasetCatalog._registry):
+        DatasetCatalog.remove(name)
+    for name in list(MetadataCatalog._store):
+        MetadataCatalog.remove(name)
+    register_dataset("coco_zeroshot_val", root)
+    records = DatasetCatalog.get("coco_zeroshot_val")
+    meta = MetadataCatalog.get("coco_zeroshot_val")
+    cfg = micro_cfg(root, "OvrRCNN")
+    mapper = DetectionMapper(cfg, meta, is_train=False, seed=0)
+    assert mapper.seed == 0  # stored (was silently dropped pre-r4)
+
+    loader = DataLoader(records, mapper, InferenceSampler(len(records)),
+                        batch_size=2, buckets=[(96, 96)], gt_slots=8,
+                        has_text=False, is_train=False, num_workers=2,
+                        worker_backend="processes", seed=7, rank=0)
+    assert loader._pool is not None, "pool must be created eagerly"
+    worker_pids = [p.pid for p in loader._pool._pool]
+    batches = list(loader)
+    assert len(batches) == 2
+    loader.close()
+    assert loader._pool is None
+    import time as _time
+    deadline = _time.time() + 10
+    while _time.time() < deadline:
+        if all(not _pid_alive(p) for p in worker_pids):
+            break
+        _time.sleep(0.05)
+    assert all(not _pid_alive(p) for p in worker_pids), \
+        "close() must terminate the worker processes"
+    # reusable after close: the pool is lazily recreated
+    again = list(loader)
+    assert len(again) == 2
+    loader.close()
+
+
+def _pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False

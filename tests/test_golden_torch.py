@@ -582,3 +582,313 @@ def test_roi_align_matches_torch_grid_sample():
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 3, 1, 2), theirs,
         atol=1e-5, rtol=1e-5)
+
+
+# ========================================== composed STT inference chain
+class _TorchStage(torch.nn.Module):
+    """A full d2 bottleneck stage (shortcut on block 0)."""
+
+    def __init__(self, n, cin, cmid, cout, stride):
+        super().__init__()
+        blocks = [_TorchBottleneck(cin, cmid, cout, stride, True)]
+        for _ in range(n - 1):
+            blocks.append(_TorchBottleneck(cout, cmid, cout, 1, False))
+        self.blocks = torch.nn.ModuleList(blocks)
+
+    def forward(self, x):
+        for b in self.blocks:
+            x = b(x)
+        return x
+
+
+def _tame_init(module, rng):
+    """Re-init convs activation-preserving (kaiming fan_out/relu) and
+    FrozenBN near identity, with the residual branch (conv3) damped so
+    21 random blocks neither explode nor collapse to ties that make
+    NMS ordering numerically unstable."""
+    for m in module.modules():
+        if isinstance(m, torch.nn.Conv2d):
+            torch.nn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                          nonlinearity="relu")
+        elif isinstance(m, _TorchFrozenBN):
+            n = m.weight.numel()
+            m.weight.copy_(torch.from_numpy(
+                rng.uniform(0.8, 1.2, n).astype(np.float32)))
+            m.bias.copy_(torch.from_numpy(
+                rng.normal(0, 0.05, n).astype(np.float32)))
+            m.running_mean.copy_(torch.from_numpy(
+                rng.normal(0, 0.05, n).astype(np.float32)))
+            m.running_var.copy_(torch.from_numpy(
+                rng.uniform(0.8, 1.2, n).astype(np.float32)))
+    if isinstance(module, _TorchStage):
+        for blk in module.blocks:
+            blk.conv3.weight.mul_(0.3)  # damp per-block residual growth
+
+
+def _d2_apply_deltas(deltas, boxes, weights):
+    """d2 Box2BoxTransform.apply_deltas (class-agnostic)."""
+    wx, wy, ww, wh = weights
+    widths = boxes[:, 2] - boxes[:, 0]
+    heights = boxes[:, 3] - boxes[:, 1]
+    ctr_x = boxes[:, 0] + 0.5 * widths
+    ctr_y = boxes[:, 1] + 0.5 * heights
+    dx, dy = deltas[:, 0] / wx, deltas[:, 1] / wy
+    dw, dh = deltas[:, 2] / ww, deltas[:, 3] / wh
+    clamp = np.log(1000.0 / 16)
+    dw, dh = np.minimum(dw, clamp), np.minimum(dh, clamp)
+    pcx = dx * widths + ctr_x
+    pcy = dy * heights + ctr_y
+    pw = np.exp(dw) * widths
+    ph = np.exp(dh) * heights
+    return np.stack([pcx - 0.5 * pw, pcy - 0.5 * ph,
+                     pcx + 0.5 * pw, pcy + 0.5 * ph], axis=1)
+
+
+def _np_iou(box, boxes):
+    ix1 = np.maximum(box[0], boxes[:, 0])
+    iy1 = np.maximum(box[1], boxes[:, 1])
+    ix2 = np.minimum(box[2], boxes[:, 2])
+    iy2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    union = a + b - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _greedy_nms(boxes, scores, thr):
+    """torchvision nms: score-descending greedy, suppress IoU > thr."""
+    order = np.argsort(-scores, kind="stable")
+    suppressed = np.zeros(len(boxes), bool)
+    keep = []
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        iou = _np_iou(boxes[i], boxes)
+        suppressed |= iou > thr
+        suppressed[i] = True
+    return keep
+
+
+def _d2_fast_rcnn_single(probs, boxes_dec, hw, score_thresh, nms_thresh,
+                         topk):
+    """d2 fast_rcnn_inference_single_image: clip -> score-thresh ->
+    per-class NMS (batched_nms) -> global top-k by score."""
+    probs = probs[:, :-1]  # drop background column
+    boxes = boxes_dec.copy()
+    boxes[:, 0::2] = np.clip(boxes[:, 0::2], 0, hw[1])
+    boxes[:, 1::2] = np.clip(boxes[:, 1::2], 0, hw[0])
+    r, k = probs.shape
+    cand = []  # (score, box, cls)
+    for c in range(k):
+        sel = np.flatnonzero(probs[:, c] > score_thresh)
+        if sel.size == 0:
+            continue
+        keep = _greedy_nms(boxes[sel], probs[sel, c], nms_thresh)
+        for j in keep:
+            cand.append((probs[sel[j], c], boxes[sel[j]], c))
+    cand.sort(key=lambda t: -t[0])
+    cand = cand[:topk]
+    if not cand:
+        return (np.zeros((0, 4), np.float32), np.zeros(0, np.float32),
+                np.zeros(0, np.int32))
+    return (np.stack([t[1] for t in cand]).astype(np.float32),
+            np.array([t[0] for t in cand], np.float32),
+            np.array([t[2] for t in cand], np.int32))
+
+
+@pytest.mark.slow
+def test_composed_stt_inference_matches_torch():
+    """VERDICT r3 Next #1: the COMPOSED end-to-end STT inference chain
+    vs a torch build of the reference semantics — FrozenBN R50-C4 trunk
+    + adaptive ROIAlign (grid_sample core) + res5 + emb_pred /
+    frozen-class-matrix scores + the d2 decode/clip/score-thresh/
+    per-class-NMS/top-k chain + detector_postprocess rescale
+    (reference: ovr/modeling/roi_heads/box_emb_head.py:12-17,204-236,
+    roi_emb_heads.py:247-282, ovr_rcnn.py:76-124). Weights shared via
+    convert_d2_state_dict; detections must agree in count, class, score
+    ORDER and coordinates at two image sizes in one padded batch plus a
+    second bucket shape — pinning every cross-component numeric risk
+    (NMS tie-breaks, clip order, bg-row handling) without COCO data."""
+    from locov_tpu.config import get_cfg
+    from locov_tpu.models import build_meta_arch
+    from locov_tpu.structures.batches import (DetectionBatch, ImageBatch,
+                                              ProposalBatch)
+
+    rng = np.random.RandomState(7)
+    emb_dim, num_classes = 16, 5
+
+    # ---------------- torch reference build (full R50-C4 + res5)
+    torch.manual_seed(7)
+    stem_conv = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+    stem_norm = _TorchFrozenBN(64)
+    res2 = _TorchStage(3, 64, 64, 256, 1)
+    res3 = _TorchStage(4, 256, 128, 512, 2)
+    res4 = _TorchStage(6, 512, 256, 1024, 2)
+    res5 = _TorchStage(3, 1024, 512, 2048, 2)
+    emb_pred = torch.nn.Linear(2048, emb_dim)
+    bbox_pred = torch.nn.Linear(2048, 4)
+    with torch.no_grad():
+        for mod in (stem_conv, stem_norm, res2, res3, res4, res5):
+            _tame_init(mod, rng)
+
+    def trunk(x):
+        x = torch.relu(stem_norm(stem_conv(x)))
+        x = torch.nn.functional.max_pool2d(x, 3, 2, 1)
+        return res4(res3(res2(x)))
+
+    # calibrate the two head inits against the actual pooled-feature
+    # magnitude (Caffe2 PIXEL_STD=1 inputs are O(100); random trunks
+    # amplify unpredictably) so logits land at O(1) gaps — far above
+    # cross-framework f32 conv noise, far below softmax saturation
+    with torch.no_grad():
+        probe = torch.from_numpy(
+            (rng.rand(1, 3, 64, 64) * 2 - 1).astype(np.float32) * 100)
+        pv = res5(trunk(probe)).mean(dim=(2, 3))
+        v_rms = float(pv.pow(2).mean().sqrt().clamp(min=1e-6))
+        torch.nn.init.normal_(emb_pred.weight, 0,
+                              0.5 / (np.sqrt(2048) * v_rms))
+        torch.nn.init.constant_(emb_pred.bias, 0.0)
+        torch.nn.init.normal_(bbox_pred.weight, 0,
+                              0.3 / (np.sqrt(2048) * v_rms))
+        torch.nn.init.constant_(bbox_pred.bias, 0.0)
+
+    # class-embedding matrix, background row = zeros
+    class_emb = rng.randn(num_classes + 1, emb_dim).astype(np.float32)
+    class_emb[-1] = 0.0
+
+    # ---------------- our model (RPN-less: same proposals on both sides)
+    cfg = get_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "OvrRCNN"
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = num_classes
+    cfg.MODEL.ROI_BOX_HEAD.EMBEDDING_BASED = True
+    cfg.MODEL.ROI_BOX_HEAD.EMB_DIM = emb_dim
+    cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.TEST.DETECTIONS_PER_IMAGE = 20
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_meta_arch(cfg)
+    score_thresh = cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST
+    nms_thresh = cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST
+    weights = tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS)
+
+    # ---------------- d2-named state dict -> our tree
+    state = {}
+
+    bn_leaves = ["weight", "bias", "running_mean", "running_var"]
+
+    def put_bn(prefix, bn):
+        for leaf in bn_leaves:
+            state[f"{prefix}.{leaf}"] = getattr(bn, leaf).numpy()
+
+    state["backbone.stem.conv1.weight"] = stem_conv.weight.detach().numpy()
+    put_bn("backbone.stem.conv1.norm", stem_norm)
+    for name, stage in [("backbone.res2", res2), ("backbone.res3", res3),
+                        ("backbone.res4", res4),
+                        ("roi_heads.res5", res5)]:
+        for b, blk in enumerate(stage.blocks):
+            for conv in ["conv1", "conv2", "conv3"]:
+                state[f"{name}.{b}.{conv}.weight"] = \
+                    getattr(blk, conv).weight.detach().numpy()
+                put_bn(f"{name}.{b}.{conv}.norm",
+                       getattr(blk, f"{conv}_norm"))
+            if blk.shortcut is not None:
+                state[f"{name}.{b}.shortcut.weight"] = \
+                    blk.shortcut.weight.detach().numpy()
+                put_bn(f"{name}.{b}.shortcut.norm", blk.shortcut_norm)
+    state["roi_heads.box_predictor.emb_pred.weight"] = \
+        emb_pred.weight.detach().numpy()
+    state["roi_heads.box_predictor.emb_pred.bias"] = \
+        emb_pred.bias.detach().numpy()
+    state["roi_heads.box_predictor.bbox_pred.weight"] = \
+        bbox_pred.weight.detach().numpy()
+    state["roi_heads.box_predictor.bbox_pred.bias"] = \
+        bbox_pred.bias.detach().numpy()
+    converted = convert_d2_state_dict(state)
+
+    mean = np.asarray(cfg.MODEL.PIXEL_MEAN, np.float32)
+    std = np.asarray(cfg.MODEL.PIXEL_STD, np.float32)
+
+    def run_case(bucket, hws, n_prop, n_valid):
+        bh, bw = bucket
+        bsz = len(hws)
+        canvases = np.zeros((bsz, bh, bw, 3), np.float32)
+        boxes = np.zeros((bsz, n_prop, 4), np.float32)
+        mask = np.zeros((bsz, n_prop), bool)
+        for i, (h, w) in enumerate(hws):
+            canvases[i, :h, :w] = rng.rand(h, w, 3) * 255.0
+            x1 = rng.uniform(0, w * 0.6, n_prop)
+            y1 = rng.uniform(0, h * 0.6, n_prop)
+            boxes[i, :, 0] = x1
+            boxes[i, :, 1] = y1
+            boxes[i, :, 2] = x1 + rng.uniform(6, w * 0.4, n_prop)
+            boxes[i, :, 3] = y1 + rng.uniform(6, h * 0.4, n_prop)
+            mask[i, :n_valid] = True
+        hw = np.asarray(hws, np.int32)
+        orig_hw = (hw * 2).astype(np.int32)  # rescale factor 2
+
+        batch = DetectionBatch(
+            images=ImageBatch(image=jnp.asarray(canvases),
+                              hw=jnp.asarray(hw),
+                              orig_hw=jnp.asarray(orig_hw)),
+            proposals=ProposalBatch(
+                boxes=jnp.asarray(boxes),
+                objectness=jnp.zeros((bsz, n_prop), jnp.float32),
+                mask=jnp.asarray(mask)))
+
+        key = jax.random.PRNGKey(0)
+        params = model.init(key, batch, jnp.asarray(class_emb),
+                            method=model.inference)
+        flat = flatten_params(params["params"])
+        missing = [k for k in flat if k not in converted]
+        assert not missing, f"transplant gaps: {missing}"
+        params = {"params": unflatten_params(
+            {k: converted[k].astype(np.float32) for k in flat})}
+        dets = model.apply(params, batch, jnp.asarray(class_emb),
+                           method=model.inference)
+
+        for i, (h, w) in enumerate(hws):
+            # torch chain on the SAME zero-padded normalized canvas
+            xin = (canvases[i] - mean) / std
+            valid_px = np.zeros((bh, bw, 1), np.float32)
+            valid_px[:h, :w] = 1.0
+            xin = xin * valid_px
+            with torch.no_grad():
+                feat = trunk(torch.from_numpy(
+                    xin.transpose(2, 0, 1)[None].copy()))[0]
+                vb = boxes[i][mask[i]]
+                pooled = _torch_roi_align_adaptive_ref(
+                    feat, vb, 1.0 / 16, 14)
+                r5 = res5.forward(torch.from_numpy(pooled))
+                v = r5.mean(dim=(2, 3))
+                emb = emb_pred(v)
+                logits = emb @ torch.from_numpy(class_emb).T
+                probs = torch.softmax(logits, -1).numpy()
+                deltas = bbox_pred(v).numpy()
+            # sanity: scores well-separated (ties would make order moot)
+            assert np.abs(logits.numpy()).max() < 30
+            dec = _d2_apply_deltas(deltas, vb, weights)
+            tb, ts, tc = _d2_fast_rcnn_single(
+                probs, dec, (h, w), score_thresh, nms_thresh,
+                cfg.TEST.DETECTIONS_PER_IMAGE)
+            # detector_postprocess: rescale to original size + clip
+            sc = orig_hw[i].astype(np.float32) / np.array([h, w],
+                                                          np.float32)
+            tb = tb * np.array([sc[1], sc[0], sc[1], sc[0]])
+            tb[:, 0::2] = np.clip(tb[:, 0::2], 0, orig_hw[i][1])
+            tb[:, 1::2] = np.clip(tb[:, 1::2], 0, orig_hw[i][0])
+
+            om = np.asarray(dets.mask[i])
+            ob = np.asarray(dets.boxes[i])[om]
+            osc = np.asarray(dets.scores[i])[om]
+            ocl = np.asarray(dets.classes[i])[om]
+            assert len(ob) == len(tb), \
+                f"det count: ours {len(ob)} vs torch {len(tb)}"
+            np.testing.assert_array_equal(ocl, tc)
+            np.testing.assert_allclose(osc, ts, atol=1e-4, rtol=1e-4)
+            np.testing.assert_allclose(ob, tb, atol=2e-2, rtol=1e-4)
+
+    # one padded batch with two image sizes + a second bucket shape
+    run_case((64, 64), [(64, 64), (48, 56)], n_prop=12, n_valid=10)
+    run_case((96, 64), [(96, 64)], n_prop=12, n_valid=12)

@@ -87,3 +87,44 @@ def test_inference_shapes_and_rescale(tiny_setup):
         assert b[0][m[0]].max() <= 128.0 + 1e-3
     if m[1].any():
         assert b[1][m[1], 2].max() <= 112.0 + 1e-3
+
+
+def test_precomputed_proposals_paths(tiny_setup):
+    """The RPN-less path (MODEL.PROPOSAL_GENERATOR.NAME =
+    'PrecomputedProposals', reference ovr_rcnn.py:59-61): batch
+    proposals feed the second stage directly, and a missing
+    ProposalBatch raises an actionable config error — not an assert."""
+    from locov_tpu.structures.batches import ProposalBatch
+
+    cfg, _, batch, class_emb = tiny_setup
+    cfg2 = cfg.clone()
+    cfg2.defrost() if hasattr(cfg2, "defrost") else None
+    cfg2.MODEL.PROPOSAL_GENERATOR.NAME = "PrecomputedProposals"
+    model = build_meta_arch(cfg2)
+
+    rng = np.random.RandomState(3)
+    k = 8
+    boxes = np.zeros((2, k, 4), np.float32)
+    boxes[..., :2] = rng.rand(2, k, 2) * 20
+    boxes[..., 2:] = boxes[..., :2] + 8 + rng.rand(2, k, 2) * 20
+    props = ProposalBatch(
+        boxes=jnp.asarray(boxes),
+        objectness=jnp.asarray(rng.rand(2, k), jnp.float32),
+        mask=jnp.ones((2, k), bool))
+    pbatch = batch._replace(proposals=props)
+
+    key = jax.random.PRNGKey(4)
+    params = model.init(key, pbatch, class_emb, key, method=model.losses)
+    losses = model.apply(params, pbatch, class_emb, key,
+                         method=model.losses)
+    # no RPN -> no RPN losses; detector losses present and finite
+    assert set(losses) == {"loss_cls", "loss_box_reg"}
+    for name, v in losses.items():
+        assert np.isfinite(float(v)), name
+    dets = model.apply(params, pbatch, class_emb, method=model.inference)
+    assert dets.boxes.shape[0] == 2 and np.isfinite(
+        np.asarray(dets.scores)).all()
+
+    # config-reachable misconfiguration fails with a clear message
+    with pytest.raises(ValueError, match="PrecomputedProposals"):
+        model.apply(params, batch, class_emb, key, method=model.losses)

@@ -172,3 +172,31 @@ def test_device_prefetcher_order_stop_and_errors():
         next(pf)
     with pytest.raises(StopIteration):  # errored => exhausted, no hang
         next(pf)
+
+
+def test_global_scope_equals_replicated_big_batch():
+    """VERDICT r3 Next #6: the mesh-sharded global-scope step must give
+    exactly the loss AND the parameter update of the same model run on
+    the full (replicated) batch on one device — i.e. global scope
+    really is the single-big-batch semantics, just sharded."""
+    mesh, params, batch = _setup()
+    model, opt = ToyContrastive(), _Opt()
+    key = jax.random.PRNGKey(0)
+    ce = jnp.zeros((1,))
+    step = make_train_step(model, opt, mesh, contrastive_scope="global")
+    new_params, _, m = step(jax.tree.map(jnp.copy, params), {},
+                            shard_batch(batch, mesh), ce, key)
+
+    # single-device reference on the SAME full batch
+    def loss_fn(p):
+        _, losses = model.apply(p, batch, ce, key)
+        return losses["con_loss"]
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(m["con_loss"]), float(ref_loss),
+                               rtol=1e-5)
+    updates, _ = opt.update(ref_grads, {}, params)
+    ref_params = jax.tree.map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new_params["params"]["w"]),
+        np.asarray(ref_params["params"]["w"]), rtol=1e-5, atol=1e-6)
