@@ -173,6 +173,13 @@ def get_default_cfg() -> CN:
     _C.MODEL.MMSS_HEAD.TRANSFORMER.MASKED_LANGUAGE_MODELING_VALIDATION = True
     _C.MODEL.MMSS_HEAD.TRANSFORMER.MASKED_VISUAL_MODELING = False
     _C.MODEL.MMSS_HEAD.TRANSFORMER.MVM_LOSS = ""
+    # TPU-side extension (no reference key): True replaces the
+    # reference's raw-additive attention mask (vilbert-lineage quirk —
+    # the 0/1 mask is ADDED to pre-softmax logits, so attention leaks
+    # to padded caption/region slots; transformer_head.py:170-176)
+    # with standard (1-m)*-inf masking. Default False for behavioral
+    # parity with reference-trained checkpoints.
+    _C.MODEL.MMSS_HEAD.TRANSFORMER.PROPER_ATTENTION_MASK = False
     _C.MODEL.MMSS_HEAD.TRANSFORMER.MVM_LOSS_NUM_NEGATIVE = 128
     _C.MODEL.MMSS_HEAD.TRANSFORMER.MMM_LOSS = ""
     _C.MODEL.MMSS_HEAD.TRANSFORMER.BERT_CONFIG = CN()

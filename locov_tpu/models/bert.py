@@ -128,10 +128,24 @@ class BertEncoder(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, hidden, attention_mask, deterministic=True):
-        """hidden: [B, L, H]; attention_mask: [B, L] (1 = attend)."""
-        bias = (1.0 - attention_mask[:, None, None, :].astype(hidden.dtype)
-                ) * jnp.finfo(hidden.dtype).min
+    def __call__(self, hidden, attention_mask, deterministic=True,
+                 raw_additive_mask=False):
+        """hidden: [B, L, H]; attention_mask: [B, L] (1 = attend).
+
+        raw_additive_mask=True reproduces the reference TransformerHead
+        verbatim: it hands the 0/1 float mask straight to HF's
+        ``BertEncoder`` as the ADDITIVE attention bias
+        (``transformer_head.py:170-176`` — valid positions get +1 on
+        the pre-softmax logits, padded positions +0), so attention
+        leaks to padding instead of being masked out. The language
+        backbone goes through HF ``BertModel``, which builds the proper
+        ``(1-m)*min`` extended mask — keep the default False there.
+        """
+        m = attention_mask[:, None, None, :].astype(hidden.dtype)
+        if raw_additive_mask:
+            bias = m
+        else:
+            bias = (1.0 - m) * jnp.finfo(hidden.dtype).min
         for i in range(self.cfg.num_hidden_layers):
             hidden = BertLayer(self.cfg, name=f"layer_{i}")(
                 hidden, bias, deterministic)

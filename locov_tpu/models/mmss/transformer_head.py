@@ -41,6 +41,14 @@ class TransformerHeadConfig(NamedTuple):
     mmm_loss: str = "cross_entropy"
     return_dist: bool = False
     pairwise_chunk: int = 0
+    # False (default) reproduces the reference verbatim: the raw 0/1
+    # attention mask is ADDED to the pre-softmax logits (vilbert-
+    # lineage quirk at transformer_head.py:170-176 — padded caption/
+    # region slots are only 1 logit below valid ones, so attention
+    # leaks to padding). True applies the standard (1-m)*-inf mask —
+    # a documented improvement, but off for behavioral parity with
+    # reference-trained checkpoints.
+    proper_attention_mask: bool = False
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -58,7 +66,8 @@ class TransformerHeadConfig(NamedTuple):
             mvm_loss=t.MVM_LOSS,
             mmm_loss=t.MMM_LOSS,
             return_dist=cfg.MODEL.MMSS_HEAD.DISTILLATION_LOSS,
-            pairwise_chunk=cfg.TPU.PAIRWISE_CHUNK)
+            pairwise_chunk=cfg.TPU.PAIRWISE_CHUNK,
+            proper_attention_mask=t.PROPER_ATTENTION_MASK)
 
 
 class VisualEmbedding(nn.Module):
@@ -86,6 +95,7 @@ class _PairChunkEncoder(nn.Module):
     chunking stays a pure memory knob)."""
     cfg: BertConfig
     deterministic: bool = True
+    raw_additive_mask: bool = True
 
     @nn.compact
     def __call__(self, carry, xs):
@@ -94,7 +104,8 @@ class _PairChunkEncoder(nn.Module):
         tokens = jnp.concatenate([cap_e[cix], img_e[iix]], axis=1)
         mask = jnp.concatenate([cap_m[cix], reg_m[iix]], axis=1)
         seq = BertEncoder(self.cfg, name="encoder")(
-            tokens, mask, deterministic=self.deterministic)
+            tokens, mask, deterministic=self.deterministic,
+            raw_additive_mask=self.raw_additive_mask)
         pooled = BertPooler(self.cfg, name="pooler")(seq)
         return carry, (seq, pooled)
 
@@ -115,6 +126,7 @@ class TransformerHead(nn.Module):
         caption_emb = caption.encoded_tokens          # [B, W, D]
         caption_mask = caption.attention_mask.astype(jnp.float32)
         target_ids = jnp.where(caption.mlm_mask > 0, caption.target_ids, -1)
+        raw_mask = not t.proper_attention_mask
 
         b, max_w = caption_mask.shape
         max_r = image.mask.shape[1]
@@ -143,7 +155,8 @@ class TransformerHead(nn.Module):
                     [caption_emb[ci], image_emb[ii]], axis=1)
                 mask = jnp.concatenate(
                     [caption_mask[ci], region_mask[ii]], axis=1)
-                seq = encoder(tokens, mask, deterministic=deterministic)
+                seq = encoder(tokens, mask, deterministic=deterministic,
+                              raw_additive_mask=raw_mask)
                 pooled = pooler(seq)
                 return seq, pooled
 
@@ -167,7 +180,7 @@ class TransformerHead(nn.Module):
                     variable_broadcast="params",
                     split_rngs={"params": False, "dropout": True},
                     in_axes=0, out_axes=0)
-                pe = scan_cls(c, deterministic)
+                pe = scan_cls(c, deterministic, raw_mask)
                 nn.share_scope(self, pe)
                 carry = (caption_emb, image_emb, caption_mask,
                          region_mask)
@@ -186,7 +199,8 @@ class TransformerHead(nn.Module):
         elif t.mmm_loss == "":
             tokens = jnp.concatenate([caption_emb, image_emb], axis=1)
             mask = jnp.concatenate([caption_mask, region_mask], axis=1)
-            seq = encoder(tokens, mask, deterministic=deterministic)
+            seq = encoder(tokens, mask, deterministic=deterministic,
+                          raw_additive_mask=raw_mask)
             pw_cost = None
             seq_t_diag = seq[:, :max_w]
         else:

@@ -892,3 +892,190 @@ def test_composed_stt_inference_matches_torch():
     # one padded batch with two image sizes + a second bucket shape
     run_case((64, 64), [(64, 64), (48, 56)], n_prop=12, n_valid=10)
     run_case((96, 64), [(96, 64)], n_prop=12, n_valid=12)
+
+
+# ==================================================== TransformerHead (MMSS)
+def test_composed_transformer_head_matches_torch():
+    """Composed MMSS TransformerHead golden: our flax head vs a torch
+    composition of the installed HF building blocks (BertEncoder /
+    BertPooler / BertLMPredictionHead) wired with the REFERENCE's exact
+    forward semantics (ovr/modeling/mmss_heads/transformer_head.py:
+    105-254): v2l projection -> VisualEmbedding -> BxB pair replication
+    -> joint encoder with the reference's RAW-ADDITIVE attention mask
+    (the 0/1 mask is added to pre-softmax logits, :170-176 — attention
+    leaks to padding; our default mode replicates this) -> pooled
+    bi_seq_relationship[:, 0] BxB cost -> diagonal-pair MLM CE
+    (ignore_index=-1) + bidirectional matching CE. Weights transplant
+    through convert_lsm_extras, so this also pins the LSM-checkpoint
+    import path for the multimodal encoder."""
+    import torch.nn.functional as F
+    from transformers import BertConfig as HFBertConfig
+    from transformers.models.bert.modeling_bert import (
+        BertEncoder as HFBertEncoder, BertPooler as HFBertPooler,
+        BertLMPredictionHead)
+    from locov_tpu.models.bert import BertConfig
+    from locov_tpu.models.mmss import (TransformerHead,
+                                       TransformerHeadConfig)
+    from locov_tpu.structures.batches import (CaptionFeatures,
+                                              RegionFeatures)
+    from locov_tpu.utils.checkpoint import convert_lsm_extras
+
+    B, W, R, V_DIM, LOC = 3, 7, 5, 24, 2
+    kw = dict(vocab_size=90, hidden_size=32, num_hidden_layers=3,
+              num_attention_heads=4, intermediate_size=48,
+              max_position_embeddings=32, hidden_dropout_prob=0.0,
+              attention_probs_dropout_prob=0.0)
+    hf_cfg = HFBertConfig(attn_implementation="eager", **kw)
+    our_cfg = BertConfig(**kw)
+    H, V = kw["hidden_size"], kw["vocab_size"]
+
+    torch.manual_seed(3)
+    rng = np.random.RandomState(3)
+    word_emb = rng.randn(V, H).astype(np.float32) * 0.2
+
+    class _Heads(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.predictions = BertLMPredictionHead(hf_cfg)
+            self.bi_seq_relationship = torch.nn.Linear(H, 2)
+
+    class _VisualEmbedding(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.image_embeddings = torch.nn.Linear(H, H)
+            self.image_location_embeddings = torch.nn.Linear(LOC, H)
+            self.LayerNorm = torch.nn.LayerNorm(H, eps=1e-12)
+
+    class _TorchTransformerHead(torch.nn.Module):
+        """Reference forward, reimplemented (transformer_head.py)."""
+
+        def __init__(self):
+            super().__init__()
+            self.v2l_projection = torch.nn.Linear(V_DIM, H)
+            self.visual_emb = _VisualEmbedding()
+            self.encoder = HFBertEncoder(hf_cfg)
+            self.pooler = HFBertPooler(hf_cfg)
+            self.heads = _Heads()
+            # tie the MLM decoder to the word-embedding matrix
+            # (reference _tie_weights, :69-78)
+            self.heads.predictions.decoder.weight = torch.nn.Parameter(
+                torch.from_numpy(word_emb))
+
+        def forward(self, feats, rmask, loc, cap_emb, cmask, mlm_mask,
+                    target_ids):
+            target = torch.where(mlm_mask > 0, target_ids,
+                                 torch.full_like(target_ids, -1))
+            cmask = cmask.float()
+            rmask = rmask.float()
+            img = self.v2l_projection(feats)
+            img = self.visual_emb.LayerNorm(
+                self.visual_emb.image_embeddings(img)
+                + self.visual_emb.image_location_embeddings(loc))
+            # BxB pair replication: pair k = (caption k//B, image k%B)
+            img = img[None].repeat(B, 1, 1, 1).reshape(B * B, R, H)
+            cap = cap_emb[:, None].repeat(1, B, 1, 1).reshape(B * B, W, H)
+            rm = rmask[None].repeat(B, 1, 1).reshape(B * B, R)
+            cm = cmask[:, None].repeat(1, B, 1).reshape(B * B, W)
+            tokens = torch.cat([cap, img], dim=1)
+            att = torch.cat([cm, rm], dim=1)
+            # the reference hands the RAW 0/1 mask to BertEncoder as
+            # the additive bias (no (1-m)*-inf conversion)
+            seq = self.encoder(tokens, att[:, None, None, :])[0]
+            pooled = self.pooler(seq)
+            pred_t = self.heads.predictions(seq[:, :W])
+            score = self.heads.bi_seq_relationship(pooled)
+            pred_t = torch.diagonal(pred_t.reshape(B, B, W, V),
+                                    dim1=0, dim2=1).permute(2, 0, 1)
+            mlm = F.cross_entropy(pred_t.reshape(-1, V),
+                                  target.reshape(-1).long(),
+                                  ignore_index=-1)
+            pw_cost = score[:, 0].reshape(B, B)
+            lc = torch.log_softmax(-pw_cost, dim=0)
+            li = torch.log_softmax(-pw_cost, dim=1)
+            match = -torch.diag(lc).mean() - torch.diag(li).mean()
+            return mlm, match, pw_cost
+
+    th = _TorchTransformerHead().eval()
+    # randomize the params that default to degenerate values so the
+    # comparison is not trivially aligned
+    with torch.no_grad():
+        for mod in th.modules():
+            if isinstance(mod, torch.nn.LayerNorm):
+                mod.weight.copy_(torch.from_numpy(
+                    1.0 + 0.1 * rng.randn(*mod.weight.shape)
+                    .astype(np.float32)))
+                mod.bias.copy_(torch.from_numpy(
+                    0.1 * rng.randn(*mod.bias.shape).astype(np.float32)))
+        th.heads.predictions.bias.copy_(torch.from_numpy(
+            0.1 * rng.randn(V).astype(np.float32)))
+
+    # ------------------------------------------------------------ inputs
+    feats = rng.randn(B, R, V_DIM).astype(np.float32)
+    rmask = np.ones((B, R), np.int32)
+    rmask[1, 3:] = 0                       # padded regions
+    loc = rng.rand(B, R, LOC).astype(np.float32)
+    cap_emb = rng.randn(B, W, H).astype(np.float32)
+    cmask = np.ones((B, W), np.int32)
+    cmask[2, 5:] = 0                       # padded caption
+    ids = rng.randint(4, V, (B, W)).astype(np.int32)
+    mlm_mask = np.zeros((B, W), np.int32)
+    mlm_mask[0, 2] = 1
+    mlm_mask[1, 1] = 1
+    mlm_mask[2, 3] = 1
+
+    with torch.no_grad():
+        t_mlm, t_match, t_cost = th(
+            torch.from_numpy(feats), torch.from_numpy(rmask),
+            torch.from_numpy(loc), torch.from_numpy(cap_emb),
+            torch.from_numpy(cmask), torch.from_numpy(mlm_mask),
+            torch.from_numpy(ids))
+
+    # ------------------------------------------------- our head, transplanted
+    converted = convert_lsm_extras({
+        "mmss_heads.TransformerHead." + k: v.detach().numpy()
+        for k, v in th.state_dict().items()})
+    prefix = "mmss_heads/transformer_head/"
+    converted = {k[len(prefix):]: v for k, v in converted.items()
+                 if k.startswith(prefix)}
+
+    tcfg = TransformerHeadConfig(bert=our_cfg, mlm=True,
+                                 mmm_loss="cross_entropy",
+                                 return_dist=True)
+    head = TransformerHead(tcfg=tcfg, v_dim=V_DIM, l_dim=H, loc_dim=LOC)
+    cap = CaptionFeatures(
+        input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(cmask),
+        special_tokens_mask=jnp.zeros((B, W), jnp.int32),
+        target_ids=jnp.asarray(ids), mlm_mask=jnp.asarray(mlm_mask),
+        encoded_tokens=jnp.asarray(cap_emb),
+        input_embeddings=jnp.asarray(cap_emb))
+    img = RegionFeatures(features=jnp.asarray(feats),
+                         mask=jnp.asarray(rmask.astype(bool)),
+                         loc=jnp.asarray(loc))
+    we = jnp.asarray(word_emb)
+    params = head.init(jax.random.PRNGKey(0), img, cap, we)
+    flat = flatten_params(params["params"])
+    missing = [k for k in flat if k not in converted]
+    assert not missing, f"no torch source for: {missing}"
+    params = {"params": unflatten_params(
+        {k: converted[k].astype(np.float32) for k in flat})}
+    with jax.default_matmul_precision("highest"):
+        other, losses, dists = head.apply(params, img, cap, we)
+
+    np.testing.assert_allclose(np.asarray(dists["trans"]),
+                               t_cost.numpy(), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        float(losses["Masked Language Modeling Loss"]),
+        float(t_mlm), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(losses["Image Caption Matching Loss"]),
+        float(t_match), atol=2e-5, rtol=1e-5)
+
+    # the proper-mask opt-in must CHANGE the result (padding no longer
+    # attended): guards against the flag silently becoming a no-op
+    tcfg_m = tcfg._replace(proper_attention_mask=True)
+    head_m = TransformerHead(tcfg=tcfg_m, v_dim=V_DIM, l_dim=H,
+                             loc_dim=LOC)
+    with jax.default_matmul_precision("highest"):
+        _, losses_m, _ = head_m.apply(params, img, cap, we)
+    assert abs(float(losses_m["Masked Language Modeling Loss"])
+               - float(t_mlm)) > 1e-4
