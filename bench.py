@@ -107,7 +107,7 @@ def build_stt_eval(batch=8, height=800, width=1344):
     return cfg, model, data, class_emb
 
 
-def run_stt_eval():
+def run_stt_eval(batch=8):
     import jax
 
     from locov_tpu.utils.misc import compile_cache_dir
@@ -115,7 +115,6 @@ def run_stt_eval():
                       compile_cache_dir())
     from locov_tpu.parallel import get_mesh, make_eval_step, shard_batch
 
-    batch = 8
     cfg, model, data, class_emb = build_stt_eval(batch=batch)
     key = jax.random.PRNGKey(0)
     params = jax.jit(
@@ -159,6 +158,7 @@ def run_stt_eval():
         "metric": "stt_eval_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "img/s",
+        "batch": batch,
         "variant": ("int8-static" if cfg.TPU.INT8_EVAL and
                     cfg.TPU.INT8_SCHEME == "static" else
                     "int8-dynamic" if cfg.TPU.INT8_EVAL else "bf16"),
@@ -170,7 +170,7 @@ def run_stt_eval():
     }))
 
 
-def main():
+def main(batch=4):
     import jax
 
     from locov_tpu.utils.misc import compile_cache_dir
@@ -179,7 +179,6 @@ def main():
     from locov_tpu.engine.solver import build_optimizer, default_frozen_fn
     from locov_tpu.parallel import get_mesh, make_train_step, shard_batch
 
-    batch = 4
     cfg, model, data, class_emb = build_full(batch=batch)
     key = jax.random.PRNGKey(0)
     params = jax.jit(
@@ -225,6 +224,7 @@ def main():
         "metric": "lsm_train_images_per_sec_per_chip",
         "value": round(ips, 3),
         "unit": "img/s",
+        "batch": batch,
         "vs_baseline": round(ips / baseline_ips, 3),
         # the reference publishes NO throughput numbers; this ratio
         # rests on an estimate, not a measurement (VERDICT r3 Weak #4)
@@ -240,11 +240,16 @@ if __name__ == "__main__":
     if "--mode" in args:
         i = args.index("--mode")
         mode = args[i + 1] if i + 1 < len(args) else None
+    batch = None
+    if "--batch" in args:  # batch-scaling study; default = parity config
+        i = args.index("--batch")
+        batch = int(args[i + 1])
     try:
         if mode == "stt_eval":
-            run_stt_eval()
+            run_stt_eval(**({"batch": batch} if batch else {}))
         else:
-            main()  # default: ONE json line, LSM train throughput
+            # default: ONE json line, LSM train throughput
+            main(**({"batch": batch} if batch else {}))
     except BaseException as e:  # noqa: BLE001 — the contract is ONE
         # JSON line no matter what; a compile/tunnel failure must be
         # recorded, not vanish (the TPU dev tunnel dropped mid-round-3
