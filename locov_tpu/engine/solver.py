@@ -159,7 +159,15 @@ def build_optimizer(cfg, params,
     clip_cfg = cfg.SOLVER.CLIP_GRADIENTS
 
     def init(params):
-        mom = jax.tree.map(jnp.zeros_like, params)
+        # Frozen leaves never read or write momentum (new_momentum
+        # returns m untouched), so give them a scalar placeholder
+        # instead of a full-shape zeros buffer: on LSM the frozen
+        # BERT-base alone is ~440 MB of HBM that torch never allocates
+        # either (requires_grad=False params have no optimizer state).
+        mom = jax.tree.map(
+            lambda p, tr: jnp.zeros_like(p) if tr
+            else jnp.zeros((), p.dtype),
+            params, trainable)
         return SGDState(momentum=mom, step=jnp.zeros((), jnp.int32))
 
     def update(grads, state, params):

@@ -85,6 +85,15 @@ def test_freezing_masks():
     # trainable: res3 conv, bbox_pred
     assert np.any(flat["backbone/res3/0/conv1/kernel"] != 0)
     assert np.any(flat["roi_heads/box_predictor/bbox_pred/kernel"] != 0)
+    # frozen leaves carry scalar momentum placeholders, not full-shape
+    # buffers (torch allocates no optimizer state for
+    # requires_grad=False params; the frozen BERT alone would waste
+    # ~440 MB of HBM otherwise)
+    mom = flatten_params(state.momentum)
+    assert mom["language_backbone/bert_model/embeddings/"
+               "word_embeddings"].shape == ()
+    assert mom["backbone/stem/conv1/kernel"].shape == ()
+    assert mom["backbone/res3/0/conv1/kernel"].shape != ()
 
 
 def test_grad_clip_value():
