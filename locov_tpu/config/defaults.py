@@ -367,6 +367,13 @@ def get_default_cfg() -> CN:
     # first eval pass; the quant collection then persists in params and
     # checkpoints)
     _C.TPU.INT8_CALIB_BATCHES = 4
+    # with INT8_SCHEME="static": run ROIAlign itself int8 x int8 (the
+    # [B,chunk,Q,H,C] chunk intermediate is written to HBM as int8,
+    # halving this HBM-bound op's dominant traffic; interpolation
+    # weights quantize per-row — ops/roi_align.py
+    # roi_align_batched_int8). Off = bf16 interpolation with the fused
+    # int8 output epilogue (roi_align_batched_quant).
+    _C.TPU.INT8_ROIALIGN = True
     # depth of the host->device input pipeline (DevicePrefetcher);
     # 0 disables prefetch (batches transfer synchronously in run_step)
     _C.TPU.PREFETCH_BATCHES = 2

@@ -38,6 +38,10 @@ class ROIHeadsConfig(NamedTuple):
     pooler_sampling_ratio: int
     feature_stride: int
     use_pallas_roi_align: bool = False
+    # static-int8 serving: run ROIAlign itself int8 x int8 (int8 chunk
+    # intermediates halve this HBM-bound op's traffic; see
+    # ops/roi_align.py roi_align_batched_int8). TPU.INT8_ROIALIGN.
+    int8_roialign: bool = True
 
     @classmethod
     def from_cfg(cls, cfg):
@@ -57,7 +61,8 @@ class ROIHeadsConfig(NamedTuple):
             # kernel, so it substitutes ratio 2 when adaptive is asked.
             pooler_sampling_ratio=sr,
             feature_stride=16,
-            use_pallas_roi_align=cfg.TPU.USE_PALLAS_ROIALIGN)
+            use_pallas_roi_align=cfg.TPU.USE_PALLAS_ROIALIGN,
+            int8_roialign=cfg.TPU.INT8_ROIALIGN)
 
 
 class SampledProposals(NamedTuple):
@@ -129,6 +134,11 @@ class Res5ROIHeads(nn.Module):
             self.pooled_amax = self.variable(
                 "quant", "pooled_amax",
                 lambda: jnp.zeros((), jnp.float32))
+            # calibrated max-abs of the res4 features entering ROIAlign
+            # (TPU.INT8_ROIALIGN: the whole op runs int8 x int8)
+            self.roialign_amax = self.variable(
+                "quant", "roialign_amax",
+                lambda: jnp.zeros((), jnp.float32))
         self.res5 = ResNetStage(
             num_blocks=3,
             bottleneck_channels=self.num_groups * self.width_per_group * 8,
@@ -167,13 +177,21 @@ class Res5ROIHeads(nn.Module):
             else "highest"
         if int8 == "static":
             from ..ops.int8_conv import QuantizedTensor
-            from ..ops.roi_align import roi_align_batched_quant
-            amax = self.pooled_amax
-            q, scale = roi_align_batched_quant(
-                features, boxes, 1.0 / self.rcfg.feature_stride,
-                amax.value, pooled=self.rcfg.pooler_resolution,
-                sampling_ratio=self.rcfg.pooler_sampling_ratio,
-                precision=prec)
+            from ..ops.roi_align import (roi_align_batched_int8,
+                                         roi_align_batched_quant)
+            if self.rcfg.int8_roialign:
+                q, scale = roi_align_batched_int8(
+                    features, boxes, 1.0 / self.rcfg.feature_stride,
+                    self.roialign_amax.value, self.pooled_amax.value,
+                    pooled=self.rcfg.pooler_resolution,
+                    sampling_ratio=self.rcfg.pooler_sampling_ratio)
+            else:
+                q, scale = roi_align_batched_quant(
+                    features, boxes, 1.0 / self.rcfg.feature_stride,
+                    self.pooled_amax.value,
+                    pooled=self.rcfg.pooler_resolution,
+                    sampling_ratio=self.rcfg.pooler_sampling_ratio,
+                    precision=prec)
             pooled = QuantizedTensor(
                 q.reshape((b * s,) + q.shape[2:]), scale)
         elif self.rcfg.use_pallas_roi_align:
@@ -195,6 +213,9 @@ class Res5ROIHeads(nn.Module):
                 cur = jnp.max(jnp.abs(pooled.astype(jnp.float32)))
                 self.pooled_amax.value = jnp.maximum(
                     self.pooled_amax.value, cur)
+                fcur = jnp.max(jnp.abs(features.astype(jnp.float32)))
+                self.roialign_amax.value = jnp.maximum(
+                    self.roialign_amax.value, fcur)
         out = self.res5(pooled, int8=int8)
         out = out.mean(axis=(1, 2))
         return out.reshape(b, s, -1)
