@@ -88,6 +88,9 @@ def build_stt_eval(batch=8, height=800, width=1344):
         cfg.TPU.INT8_EVAL = True
         cfg.TPU.INT8_SCHEME = os.environ.get("LOCOV_INT8_SCHEME",
                                              "dynamic")
+    if "LOCOV_INT8_ROIALIGN" in os.environ:  # A/B the full-int8 op
+        cfg.TPU.INT8_ROIALIGN = \
+            os.environ["LOCOV_INT8_ROIALIGN"] == "1"
     model = build_meta_arch(cfg)
 
     rng = np.random.RandomState(0)

@@ -228,7 +228,14 @@ def restore_opt_state(restored, template):
     orbax-restored plain-dict tree, using a freshly-initialized state as
     the structure template. Handles SGDState as well as wrappers like
     optax.MultiStepsState (empty-tuple fields such as ``skip_state``
-    don't survive orbax round-trips and are taken from the template)."""
+    don't survive orbax round-trips and are taken from the template).
+
+    Backward compat: checkpoints written before frozen params switched
+    to scalar momentum placeholders store full-shape zero buffers for
+    them; where the template leaf is a scalar and the restored one is
+    not, the scalar placeholder wins (the value is never read for
+    frozen leaves, and keeping the buffer would silently waste the
+    ~440 MB of HBM the diet reclaimed)."""
     def rec(t, r):
         if hasattr(t, "_fields"):  # NamedTuple
             r = r if isinstance(r, dict) else \
@@ -243,5 +250,9 @@ def restore_opt_state(restored, template):
             return type(t)(rec(tv, rv) for tv, rv in zip(t, r))
         if r is None:
             return t
-        return jnp.asarray(r)
+        r = jnp.asarray(r)
+        if getattr(t, "shape", None) == () and \
+                getattr(r, "shape", ()) != ():
+            return t  # frozen-leaf placeholder beats the old buffer
+        return r
     return rec(template, restored)

@@ -303,7 +303,13 @@ class OVRTrainer:
         if resume and self.checkpointer.has_checkpoint():
             name = self.checkpointer.last_checkpoint()
             state = self.checkpointer.load(name)
-            self.params = jax.tree.map(jnp.asarray, state["params"])
+            # merge over the init template (not wholesale replace) so
+            # model statistics added AFTER the checkpoint was written
+            # (e.g. quant/roialign_amax) keep their zero init and read
+            # as uncalibrated instead of erroring as missing variables
+            from ..utils.checkpoint import merge_over_template
+            self.params = merge_over_template(
+                self.params, jax.tree.map(jnp.asarray, state["params"]))
             # orbax restores NamedTuples as plain dicts — rebuild the
             # optimizer-state structure (SGDState, or MultiStepsState
             # when SOLVER.GRADIENT_ACCUMULATION_STEPS > 1) against a
@@ -478,6 +484,11 @@ class OVRTrainer:
                 and hasattr(self.model, "calibrate_int8")):
             return
         quant = self.params.get("quant")
+        # Positivity over ALL leaves is a sound calibration check
+        # because every load path merges restored state over the init
+        # template (merge_over_template): a statistic the model gained
+        # after an old checkpoint was calibrated (e.g. roialign_amax)
+        # is guaranteed present with its zero init -> recalibrates here.
         if quant is not None and all(
                 float(jnp.max(a)) > 0 for a in jax.tree.leaves(quant)):
             return  # already calibrated (this run or via checkpoint)

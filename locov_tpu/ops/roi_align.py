@@ -135,8 +135,11 @@ def roi_align_batched_quant(features: jnp.ndarray, boxes: jnp.ndarray,
 def _build_kernels(boxes: jnp.ndarray, spatial_scale: float, h: int,
                    w: int, pooled: int, sampling_ratio: int):
     """Per-box 1-D interpolation matrices ky [B,N,P,H], kx [B,N,P,W]
-    (f32), shared by the float and int8 forward paths."""
+    (f32) — the single source of truth for the box->matrix math
+    (aligned=True / ROIAlignV2 half-pixel offset, fixed or d2-adaptive
+    sampling), shared by the float and int8 forward paths."""
     b, n = boxes.shape[:2]
+    # aligned=True (ROIAlignV2): half-pixel correction, no size clamping
     x0 = boxes[..., 0] * spatial_scale - 0.5
     y0 = boxes[..., 1] * spatial_scale - 0.5
     bw = boxes[..., 2] * spatial_scale - 0.5 - x0
@@ -273,27 +276,8 @@ def _roi_align_impl(features: jnp.ndarray, boxes: jnp.ndarray,
     intermediate."""
     b, h, w = features.shape[0], features.shape[1], features.shape[2]
     n = boxes.shape[1]
-    # aligned=True (ROIAlignV2): half-pixel correction, no size clamping
-    x0 = boxes[..., 0] * spatial_scale - 0.5
-    y0 = boxes[..., 1] * spatial_scale - 0.5
-    bw = boxes[..., 2] * spatial_scale - 0.5 - x0
-    bh = boxes[..., 3] * spatial_scale - 0.5 - y0
-
-    flat = lambda v: v.reshape(b * n)
-    if sampling_ratio > 0:
-        sr = int(sampling_ratio)
-        ky = _interp_matrix(
-            _sample_coords(flat(y0), flat(bh), pooled, sr),
-            h).reshape(b, n, pooled, h)
-        kx = _interp_matrix(
-            _sample_coords(flat(x0), flat(bw), pooled, sr),
-            w).reshape(b, n, pooled, w)
-    else:
-        # sampling_ratio<=0: d2 adaptive grid (see _adaptive_coords)
-        cy, wy = _adaptive_coords(flat(y0), flat(bh), pooled)
-        cx, wx = _adaptive_coords(flat(x0), flat(bw), pooled)
-        ky = _interp_matrix(cy, h, wy).reshape(b, n, pooled, h)
-        kx = _interp_matrix(cx, w, wx).reshape(b, n, pooled, w)
+    ky, kx = _build_kernels(boxes, spatial_scale, h, w, pooled,
+                            sampling_ratio)
 
     pad = (-n) % chunk
     if pad:

@@ -53,6 +53,34 @@ def unflatten_params(flat: Dict[str, Any]) -> dict:
     return tree
 
 
+def merge_over_template(template: dict, restored: dict) -> dict:
+    """Merge restored variable collections over a freshly-initialized
+    template: every leaf present in ``restored`` wins; leaves the
+    template declares but the checkpoint lacks keep their init values.
+    This is what makes checkpoints forward-compatible with NEW model
+    statistics — e.g. the int8 ``quant`` collection gaining
+    ``roialign_amax`` after older checkpoints were calibrated: the
+    zero init survives the restore and correctly reads as
+    'uncalibrated', so the trainer recalibrates instead of erroring on
+    a missing variable (or serving with amax=0). Collections only in
+    ``restored`` are carried through unchanged."""
+    out = dict(restored)
+    for coll, tmpl in template.items():
+        if coll not in restored:
+            out[coll] = tmpl
+            continue
+        flat_t = flatten_params(tmpl)
+        flat_r = flatten_params(restored[coll])
+        missing = set(flat_t) - set(flat_r)
+        if missing:
+            logger.info(
+                "Collection '%s': %d leaves missing from the checkpoint "
+                "keep their init values (e.g. %s)", coll, len(missing),
+                sorted(missing)[0])
+            out[coll] = unflatten_params({**flat_t, **flat_r})
+    return out
+
+
 # ------------------------------------------------------------- checkpointer
 class Checkpointer:
     """Orbax-backed checkpoint manager with d2-style conventions.
@@ -610,7 +638,13 @@ def load_weights_standalone(variables: dict, weights: str,
     logger.info(report.summary())
     out = dict(variables)
     out["params"] = jax.tree.map(jnp.asarray, unflatten_params(merged))
-    for k, v in extra.items():
-        if k in out:
-            out[k] = jax.tree.map(jnp.asarray, v)
+    # merge extra collections over the template (not replace): quant
+    # statistics the model gained after the checkpoint was calibrated
+    # keep their zero init -> read as uncalibrated, never as missing
+    extra = {k: jax.tree.map(jnp.asarray, v) for k, v in extra.items()
+             if k in out}
+    if extra:
+        merged_extra = merge_over_template(
+            {k: out[k] for k in extra}, extra)
+        out.update(merged_extra)
     return out

@@ -10,6 +10,7 @@ from locov_tpu.utils.checkpoint import (Checkpointer, STT_FROM_LSM_RENAME,
                                         convert_d2_state_dict,
                                         flatten_params,
                                         load_with_rename_map,
+                                        merge_over_template,
                                         unflatten_params)
 
 
@@ -29,6 +30,32 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(loaded["params"]["a"]["w"]),
                                np.arange(6.0).reshape(2, 3))
     assert ck.resume_iteration(name) == 8
+
+
+def test_merge_over_template_new_quant_statistic():
+    """A checkpoint calibrated before the model gained a quant
+    statistic (e.g. roialign_amax) restores structure-complete: the
+    new leaf keeps its zero init (-> reads as uncalibrated) instead of
+    erroring as a missing variable; leaves the checkpoint has win."""
+    template = {
+        "params": {"a": {"w": jnp.zeros((2,))}},
+        "quant": {"roi_heads": {"pooled_amax": jnp.zeros(()),
+                                "roialign_amax": jnp.zeros(())}}}
+    restored = {
+        "params": {"a": {"w": jnp.ones((2,))}},
+        "quant": {"roi_heads": {"pooled_amax": jnp.asarray(3.5)}},
+        "batch_stats": {"m": jnp.asarray(1.0)}}  # only-in-restored
+    out = merge_over_template(template, restored)
+    np.testing.assert_allclose(np.asarray(out["params"]["a"]["w"]), 1.0)
+    q = out["quant"]["roi_heads"]
+    assert float(q["pooled_amax"]) == 3.5
+    assert float(q["roialign_amax"]) == 0.0  # init survives -> recalib
+    assert float(out["batch_stats"]["m"]) == 1.0
+    # collection absent from the checkpoint entirely -> template's
+    out2 = merge_over_template(template,
+                               {"params": restored["params"]})
+    assert float(
+        out2["quant"]["roi_heads"]["pooled_amax"]) == 0.0
 
 
 def test_max_to_keep_pruning(tmp_path):

@@ -2,8 +2,11 @@
 torchvision/detectron2 ROIAlignV2 (aligned=True) algorithm."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
-from locov_tpu.ops.roi_align import roi_align, roi_align_batched
+from locov_tpu.ops.roi_align import (roi_align, roi_align_batched,
+                                     roi_align_batched_int8,
+                                     roi_align_batched_quant)
 
 
 def _bilinear(feat, y, x):
@@ -64,6 +67,53 @@ def test_roi_align_batched_shape(rng):
     out = roi_align_batched(jnp.array(feat), jnp.array(boxes), 1.0 / 4,
                             pooled=7, sampling_ratio=2, chunk=8)
     assert out.shape == (2, 10, 7, 7, 3)
+
+
+@pytest.mark.parametrize("sampling_ratio,chunk", [(0, 200), (2, 200),
+                                                  (0, 8)])
+def test_roi_align_int8_parity_vs_quant(rng, sampling_ratio, chunk):
+    """roi_align_batched_int8 (full int8xint8 contractions, TPU.
+    INT8_ROIALIGN default) vs roi_align_batched_quant (exact float
+    interpolation, int8 output epilogue) on identical inputs: same
+    output scale, dequantized values within int8 resolution. Error
+    budget: feature quantization contributes <= s_f/2 per sample, the
+    intermediate requantize another <= s_f/2, the output round s_pool/2
+    — pooled values are convex combinations of samples, so the total
+    is bounded by ~1.5 quantization steps of the larger scale."""
+    feat = (rng.randn(2, 24, 28, 16) * 3.0).astype(np.float32)
+    boxes = (rng.rand(2, 25, 4) * 80).astype(np.float32)
+    boxes[..., 2:] = boxes[..., :2] + rng.rand(2, 25, 2) * 60 + 2
+    boxes[0, 3] = [10.0, 10.0, 10.0, 10.0]  # degenerate (zero-size)
+    feat_j, boxes_j = jnp.array(feat), jnp.array(boxes)
+
+    amax_in = jnp.float32(np.abs(feat).max())
+    pooled_f = np.asarray(roi_align_batched(
+        feat_j, boxes_j, 0.25, pooled=7,
+        sampling_ratio=sampling_ratio, chunk=chunk))
+    amax_pool = jnp.float32(np.abs(pooled_f).max())
+
+    q_ref, s_ref = roi_align_batched_quant(
+        feat_j, boxes_j, 0.25, amax_pool, pooled=7,
+        sampling_ratio=sampling_ratio, chunk=chunk)
+    q8, s8 = roi_align_batched_int8(
+        feat_j, boxes_j, 0.25, amax_in, amax_pool, pooled=7,
+        sampling_ratio=sampling_ratio, chunk=chunk)
+
+    assert q8.dtype == jnp.int8 and q8.shape == q_ref.shape
+    np.testing.assert_allclose(float(s8), float(s_ref), rtol=1e-6)
+
+    s_f = float(amax_in) / 127.0
+    s_p = float(amax_pool) / 127.0
+    deq8 = np.asarray(q8, np.float32) * float(s8)
+    deqr = np.asarray(q_ref, np.float32) * float(s_ref)
+    diff = np.abs(deq8 - deqr)
+    assert diff.max() <= 1.5 * max(s_f, s_p) + 1e-6
+    assert diff.mean() <= 0.5 * max(s_f, s_p)
+    if sampling_ratio == 0:
+        # adaptive mode: degenerate box -> empty d2 sampling loop ->
+        # zero output, preserved through the int8 path (fixed-ratio
+        # mode instead samples the collapsed point, like torchvision)
+        np.testing.assert_array_equal(np.asarray(q8)[0, 3], 0)
 
 
 def test_roi_align_exact_on_constant(rng):

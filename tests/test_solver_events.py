@@ -229,3 +229,29 @@ def test_restore_opt_state_multisteps_roundtrip(tmp_path):
     u, rebuilt2 = opt.update({"w": jnp.ones(3)}, rebuilt, params)
     assert int(rebuilt2.mini_step) == 0
     assert float(jnp.abs(u["w"]).max()) > 0.0
+
+
+def test_restore_opt_state_collapses_legacy_frozen_momentum():
+    """Checkpoints written before the frozen-momentum diet carry
+    full-shape zero buffers for frozen leaves; restoring against the
+    new scalar-placeholder template must collapse them (never read,
+    would silently waste the reclaimed HBM) while trainable momentum
+    restores at full shape."""
+    from locov_tpu.engine.solver import restore_opt_state
+    cfg = get_cfg()
+    cfg.MODEL.LANGUAGE_BACKBONE.FREEZE = True
+    params = {"language_backbone": {"w": jnp.ones((4, 3))},
+              "roi_heads": {"w": jnp.ones((2, 2))}}
+    opt, _ = build_optimizer(cfg, params,
+                             frozen_fn=default_frozen_fn(cfg))
+    template = opt.init(params)
+    assert template.momentum["language_backbone"]["w"].shape == ()
+    legacy = {  # orbax-style plain dicts, pre-diet full-shape buffers
+        "momentum": {"language_backbone": {"w": np.zeros((4, 3))},
+                     "roi_heads": {"w": np.full((2, 2), 0.5)}},
+        "step": np.asarray(7, np.int32)}
+    rebuilt = restore_opt_state(legacy, template)
+    assert rebuilt.momentum["language_backbone"]["w"].shape == ()
+    np.testing.assert_allclose(
+        np.asarray(rebuilt.momentum["roi_heads"]["w"]), 0.5)
+    assert int(rebuilt.step) == 7

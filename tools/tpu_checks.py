@@ -202,6 +202,41 @@ def check_roi_align_precision():
           f"rel={rel}")
 
 
+def check_roi_align_int8():
+    """Full-int8 ROIAlign (TPU.INT8_ROIALIGN serving default) lowers on
+    TPU and stays within int8 resolution of the exact-interpolation
+    quant path — the int8x int8 MXU einsums and the fused requantize
+    epilogues are exactly what CPU pytest cannot exercise."""
+    from locov_tpu.ops.roi_align import (roi_align_batched,
+                                         roi_align_batched_int8,
+                                         roi_align_batched_quant)
+    rng = np.random.RandomState(6)
+    feat = jnp.asarray(
+        (rng.randn(2, 50, 84, 256) * 2).astype(np.float32))
+    xy = rng.rand(2, 300, 2) * 1000
+    wh = rng.rand(2, 300, 2) * 300 + 16
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1)
+                        .astype(np.float32))
+    amax_in = jnp.max(jnp.abs(feat))
+    pooled = roi_align_batched(feat, boxes, 1 / 16, 14, 0)
+    amax_pool = jnp.max(jnp.abs(pooled))
+    try:
+        q8, s8 = jax.jit(lambda f, b: roi_align_batched_int8(
+            f, b, 1 / 16, amax_in, amax_pool, 14, 0))(feat, boxes)
+        qr, sr = jax.jit(lambda f, b: roi_align_batched_quant(
+            f, b, 1 / 16, amax_pool, 14, 0))(feat, boxes)
+    except Exception as e:  # noqa: BLE001 — report, don't crash
+        check("int8 ROIAlign lowers + parity on TPU", False,
+              repr(e)[:160])
+        return
+    diff = np.abs(np.asarray(q8, np.float32) * float(s8)
+                  - np.asarray(qr, np.float32) * float(sr))
+    tol = 1.5 * max(float(amax_in), float(amax_pool)) / 127.0
+    check("int8 ROIAlign lowers + parity on TPU",
+          float(diff.max()) <= tol + 1e-6,
+          f"maxdiff {diff.max():.4f} tol {tol:.4f}")
+
+
 def check_f32_stem_compiles():
     from locov_tpu.models.resnet import ResNetStem
     x = jnp.asarray(np.random.RandomState(5)
@@ -338,6 +373,7 @@ def main():
     check_batched_nms_compacted()
     check_pallas_pool()
     check_roi_align_precision()
+    check_roi_align_int8()
     check_f32_stem_compiles()
     check_int8_conv()
     check_serving_export()
