@@ -76,10 +76,13 @@ def test_roi_align_int8_parity_vs_quant(rng, sampling_ratio, chunk):
     INT8_ROIALIGN default) vs roi_align_batched_quant (exact float
     interpolation, int8 output epilogue) on identical inputs: same
     output scale, dequantized values within int8 resolution. Error
-    budget: feature quantization contributes <= s_f/2 per sample, the
-    intermediate requantize another <= s_f/2, the output round s_pool/2
-    — pooled values are convex combinations of samples, so the total
-    is bounded by ~1.5 quantization steps of the larger scale."""
+    budget: feature quantization <= s_f/2 (pooled values are convex
+    combinations of samples), per-row int8 weight quantization of kx
+    and of ky <= ~1*s_f each (error <= nnz*(rowmax/254)*amax_in, and
+    nnz*rowmax <= ~2 for hat-function rows summing to 1), the
+    intermediate requantize <= s_f/2, the output round <= s_pool/2 —
+    ~3.5 quantization steps of the larger scale total (measured worst
+    case on the production device shapes: 1.7 steps)."""
     feat = (rng.randn(2, 24, 28, 16) * 3.0).astype(np.float32)
     boxes = (rng.rand(2, 25, 4) * 80).astype(np.float32)
     boxes[..., 2:] = boxes[..., :2] + rng.rand(2, 25, 2) * 60 + 2
@@ -107,7 +110,7 @@ def test_roi_align_int8_parity_vs_quant(rng, sampling_ratio, chunk):
     deq8 = np.asarray(q8, np.float32) * float(s8)
     deqr = np.asarray(q_ref, np.float32) * float(s_ref)
     diff = np.abs(deq8 - deqr)
-    assert diff.max() <= 1.5 * max(s_f, s_p) + 1e-6
+    assert diff.max() <= 3.5 * max(s_f, s_p) + 1e-6
     assert diff.mean() <= 0.5 * max(s_f, s_p)
     if sampling_ratio == 0:
         # adaptive mode: degenerate box -> empty d2 sampling loop ->

