@@ -29,6 +29,9 @@ def build_full(batch=4, height=800, width=1344, text_len=70):
     cfg = get_cfg()
     cfg.merge_from_file(config_path("coco_lsm.yaml"))
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    import os
+    if "LOCOV_FUSED_MMSS" in os.environ:  # A/B the fused grid+box pass
+        cfg.TPU.FUSED_MMSS_PASSES = os.environ["LOCOV_FUSED_MMSS"] == "1"
     model = build_meta_arch(cfg)
 
     rng = np.random.RandomState(0)

@@ -346,6 +346,16 @@ def get_default_cfg() -> CN:
     _C.TPU.DEBUG_NANS = False         # LoggedModule-style NaN tripwires
     # chunk size for the transformer head's all-pairs encoder pass
     _C.TPU.PAIRWISE_CHUNK = 0          # 0 = no chunking
+    # Fuse DistillProposalMMSSRCNN's grid-MMSS and box-MMSS passes into
+    # one transformer-head invocation (2*B*B pairs in one encoder/LM
+    # call instead of two B*B calls): per-group math is identical (the
+    # groups never attend to each other; equivalence-tested) and the
+    # per-pass op count halves. Measured NEUTRAL on a v5e at the parity
+    # batch (33.04 vs 32.93 img/s, within session variance) — the MMSS
+    # cluster is data-bound at these tensor sizes, not dispatch-bound —
+    # so the default keeps the reference's two-pass structure. May pay
+    # on targets where per-op overhead is real (CPU eval, interpreters).
+    _C.TPU.FUSED_MMSS_PASSES = False
     # fused Pallas ROIAlign kernel (~12% faster than the XLA matmul
     # formulation on v5e, exact same interpolation weights at bf16
     # feature precision; costs ~2 min extra Mosaic compile)

@@ -151,41 +151,63 @@ class MMSSHeads(nn.Module):
 
     def __call__(self, image: RegionFeatures, caption: CaptionFeatures,
                  word_embeddings: jnp.ndarray, rng: jax.Array,
-                 deterministic: bool = True):
-        outputs, losses, dists = {}, {}, {}
+                 deterministic: bool = True,
+                 image2: Optional[RegionFeatures] = None,
+                 rng2: Optional[jax.Array] = None):
+        """Single-group call returns (outputs, losses, dists). With
+        ``image2`` (the fused grid+box MMSS pass of
+        DistillProposalMMSSRCNN) the TransformerHead encodes BOTH
+        groups' pair lists in one pass — per-group math identical, half
+        the op dispatches at the 16-pair parity batch — and a tuple of
+        two (outputs, losses, dists) triples is returned. The cheap
+        GroundingHead einsums stay per-group so alignment/mining rng
+        draws match the unfused path exactly."""
+        groups = [(image, rng)] if image2 is None else \
+            [(image, rng), (image2, rng2)]
+        acc = [({}, {}, {}) for _ in groups]
         if self.tie_v2l:
-            image = image._replace(features=self.project(image.features))
+            groups = [(img._replace(features=self.project(img.features)), r)
+                      for img, r in groups]
         if "GroundingHead" in self.head_types:
-            rng, k = jax.random.split(rng)
-            res = self.grounding_head(image, caption, rng=k)
-            if self.gcfg.return_dist:
-                o, l, d = res
-                dists.update(d)
-            else:
-                o, l = res
-            outputs.update(o)
-            losses.update(l)
+            for (img, r), (outputs, losses, dists) in zip(groups, acc):
+                _, k = jax.random.split(r)
+                res = self.grounding_head(img, caption, rng=k)
+                if self.gcfg.return_dist:
+                    o, l, d = res
+                    dists.update(d)
+                else:
+                    o, l = res
+                outputs.update(o)
+                losses.update(l)
         if "TransformerHead" in self.head_types:
-            res = self.transformer_head(image, caption, word_embeddings,
-                                        deterministic=deterministic)
-            if self.tcfg.return_dist:
-                o, l, d = res
-                dists.update(d)
-            else:
-                o, l = res
-            outputs.update(o)
-            losses.update(l)
+            res = self.transformer_head(
+                image=groups[0][0], caption=caption,
+                word_embeddings=word_embeddings,
+                deterministic=deterministic,
+                image2=groups[1][0] if image2 is not None else None)
+            res = (res,) if image2 is None else res
+            for rg, (outputs, losses, dists) in zip(res, acc):
+                if self.tcfg.return_dist:
+                    o, l, d = rg
+                    dists.update(d)
+                else:
+                    o, l = rg
+                outputs.update(o)
+                losses.update(l)
         if "MLPHead" in self.head_types:
-            res = self.mlp_head(image, caption, word_embeddings,
-                                deterministic=deterministic)
-            if self.tcfg.return_dist:
-                o, l, d = res
-                dists.update(d)
-            else:
-                o, l = res
-            outputs.update(o)
-            losses.update(l)
-        return outputs, losses, dists
+            for (img, r), (outputs, losses, dists) in zip(groups, acc):
+                res = self.mlp_head(img, caption, word_embeddings,
+                                    deterministic=deterministic)
+                if self.tcfg.return_dist:
+                    o, l, d = res
+                    dists.update(d)
+                else:
+                    o, l = res
+                outputs.update(o)
+                losses.update(l)
+        if image2 is None:
+            return acc[0]
+        return tuple(acc)
 
 
 @register_meta_arch("DistillProposalMMSSRCNN")
@@ -219,6 +241,7 @@ class DistillProposalMMSSRCNN(nn.Module):
     freeze_at: int = 0
     use_rpn: bool = True
     grid_mmss: bool = True  # False for DistillOnlyProposalMMSSRCNN
+    fused_mmss: bool = False  # TPU.FUSED_MMSS_PASSES
     lang_bert_cfg: Optional[tuple] = None  # BertConfig override (tests)
 
     @classmethod
@@ -262,7 +285,8 @@ class DistillProposalMMSSRCNN(nn.Module):
             remat_backbone=cfg.TPU.REMAT_BACKBONE,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
             use_rpn=(cfg.MODEL.PROPOSAL_GENERATOR.NAME
-                     != 'PrecomputedProposals'))
+                     != 'PrecomputedProposals'),
+            fused_mmss=cfg.TPU.FUSED_MMSS_PASSES)
         kw.update(overrides)
         return cls(**kw)
 
@@ -393,6 +417,7 @@ class DistillProposalMMSSRCNN(nn.Module):
         mmss_outputs: Dict[str, jnp.ndarray] = {}
         dists: Dict[str, jnp.ndarray] = {}
 
+        regions = None
         if self.grid_mmss:
             grid = self.roi_heads.grid_features(features)
             grid = grid.astype(jnp.float32)
@@ -401,18 +426,39 @@ class DistillProposalMMSSRCNN(nn.Module):
             if self.spatial_dropout_k > 0:
                 regions = spatial_dropout(regions, self.spatial_dropout_k,
                                           r_drop)
-            o, l, d = self.mmss_heads(regions, caption, word_emb, r_heads1,
-                                      deterministic=deterministic)
-            mmss_outputs.update(o)
-            losses.update(l)
-            dists.update(d)
 
         # box MMSS pass over <=spatial_dropout random sampled boxes
         k = self.spatial_dropout_k if self.spatial_dropout_k > 0 else s
         bregions = box_regions(sampled.boxes, box_feats, sampled.valid,
                                images.hw.astype(jnp.float32), k, r_box)
-        o, l, d = self.mmss_heads(bregions, caption, word_emb, r_heads2,
-                                  deterministic=deterministic)
+
+        # Fuse the grid and box passes into ONE mmss_heads invocation
+        # when the region counts match (they do at the parity config:
+        # SPATIAL_DROPOUT caps both at 100): the 6-layer joint encoder,
+        # pooler and MLM decoder each run once over both groups' pair
+        # lists — identical per-group math, half the op dispatches.
+        fused = (self.fused_mmss and regions is not None
+                 and "TransformerHead" in self.head_types
+                 and regions.mask.shape == bregions.mask.shape)
+        if fused:
+            (og, lg, dg), (o, l, d) = self.mmss_heads(
+                regions, caption, word_emb, r_heads1,
+                deterministic=deterministic, image2=bregions,
+                rng2=r_heads2)
+            mmss_outputs.update(og)
+            losses.update(lg)
+            dists.update(dg)
+        else:
+            if regions is not None:
+                og, lg, dg = self.mmss_heads(
+                    regions, caption, word_emb, r_heads1,
+                    deterministic=deterministic)
+                mmss_outputs.update(og)
+                losses.update(lg)
+                dists.update(dg)
+            o, l, d = self.mmss_heads(bregions, caption, word_emb,
+                                      r_heads2,
+                                      deterministic=deterministic)
         mmss_outputs.update({"Box " + k2: v for k2, v in o.items()})
         losses.update({"Box " + k2: v for k2, v in l.items()})
         dists.update({"box_" + k2: v for k2, v in d.items()})

@@ -18,7 +18,14 @@ diagonal pairs' token states drive masked-language-modeling CE
 - the unused image-prediction head is skipped when MVM_LOSS == ''
   (the reference computes it then freezes its params, :49-57),
 - optional chunking over caption rows keeps the B^2 encoder pass
-  inside a bounded-memory lax.map.
+  inside a bounded-memory lax.map,
+- the grid-MMSS and box-MMSS passes of DistillProposalMMSSRCNN can be
+  FUSED into one encoder call (``image2=``): at the parity batch the
+  per-pass encoder runs only 16 sequences, far below MXU saturation,
+  so one 32-pair pass halves the op count for identical math (the two
+  region sets never attend to each other — pair construction is still
+  per-group; only the batch dimension is shared). Loss values are
+  bitwise-identical per group up to dropout-draw order.
 """
 from __future__ import annotations
 
@@ -120,7 +127,11 @@ class TransformerHead(nn.Module):
     @nn.compact
     def __call__(self, image: RegionFeatures, caption: CaptionFeatures,
                  word_embeddings: jnp.ndarray,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 image2: RegionFeatures = None):
+        """With ``image2`` (the fused grid+box MMSS pass) both region
+        groups ride ONE encoder/LM-head invocation; returns a tuple of
+        two (other, losses[, dists]) results, one per group."""
         t = self.tcfg
         c = t.bert
         caption_emb = caption.encoded_tokens          # [B, W, D]
@@ -129,16 +140,25 @@ class TransformerHead(nn.Module):
         raw_mask = not t.proper_attention_mask
 
         b, max_w = caption_mask.shape
-        max_r = image.mask.shape[1]
+        ng = 1 if image2 is None else 2
+        if ng == 2:
+            assert image.mask.shape == image2.mask.shape, (
+                "fused MMSS pass needs equal region counts, got "
+                f"{image.mask.shape} vs {image2.mask.shape}")
+            feats = jnp.concatenate([image.features, image2.features], 0)
+            locs = jnp.concatenate([image.loc, image2.loc], 0)
+            rmask = jnp.concatenate([image.mask, image2.mask], 0)
+        else:
+            feats, locs, rmask = image.features, image.loc, image.mask
+        max_r = rmask.shape[1]
 
         if self.external_projection:
-            image_emb = image.features
+            image_emb = feats
         else:
-            image_emb = nn.Dense(self.l_dim, name="v2l_projection")(
-                image.features)
+            image_emb = nn.Dense(self.l_dim, name="v2l_projection")(feats)
         image_emb = VisualEmbedding(c, name="visual_emb")(
-            image_emb, image.loc, deterministic)   # [B, R, D]
-        region_mask = image.mask.astype(jnp.float32)
+            image_emb, locs, deterministic)        # [ng*B, R, D]
+        region_mask = rmask.astype(jnp.float32)
 
         encoder = BertEncoder(c, name="encoder")
         pooler = BertPooler(c, name="pooler")
@@ -146,9 +166,15 @@ class TransformerHead(nn.Module):
 
         if t.mmm_loss == "cross_entropy":
             # all BxB (caption, image) joint sequences; gather indices
-            # instead of repeating the underlying embeddings
-            cap_idx = jnp.repeat(jnp.arange(b), b)   # pair k: caption k//b
-            img_idx = jnp.tile(jnp.arange(b), b)     # pair k: image  k%b
+            # instead of repeating the underlying embeddings. With two
+            # fused groups the pair list is the two groups' BxB lists
+            # back to back (group g's image row i lives at g*B + i).
+            base_cap = jnp.repeat(jnp.arange(b), b)  # pair k: caption k//b
+            base_img = jnp.tile(jnp.arange(b), b)    # pair k: image  k%b
+            cap_idx = jnp.tile(base_cap, ng)
+            img_idx = jnp.concatenate(
+                [base_img + g * b for g in range(ng)])
+            npairs = ng * b * b
 
             def encode_pairs(ci, ii):
                 tokens = jnp.concatenate(
@@ -160,7 +186,7 @@ class TransformerHead(nn.Module):
                 pooled = pooler(seq)
                 return seq, pooled
 
-            if t.pairwise_chunk and t.pairwise_chunk < b * b:
+            if t.pairwise_chunk and t.pairwise_chunk < npairs:
                 # sequential chunks bound peak memory of the pairwise
                 # encoder pass; params broadcast across iterations.
                 # nn.remat makes the bound REAL under grad: without it
@@ -170,7 +196,7 @@ class TransformerHead(nn.Module):
                 # measured 49.5 GB (OOM) for 1024 pairs fwd+bwd on a
                 # 16 GB v5e without remat. Recompute costs one extra
                 # forward of the encoder per chunk.
-                nchunk = (b * b) // t.pairwise_chunk
+                nchunk = npairs // t.pairwise_chunk
                 ci = cap_idx.reshape(nchunk, -1)
                 ii = img_idx.reshape(nchunk, -1)
                 scan_cls = nn.scan(
@@ -185,56 +211,71 @@ class TransformerHead(nn.Module):
                 carry = (caption_emb, image_emb, caption_mask,
                          region_mask)
                 _, (seq_out, pooled) = pe(carry, (ci, ii))
-                seq_out = seq_out.reshape((b * b,) + seq_out.shape[2:])
-                pooled = pooled.reshape(b * b, -1)
+                seq_out = seq_out.reshape((npairs,) + seq_out.shape[2:])
+                pooled = pooled.reshape(npairs, -1)
             else:
                 seq_out, pooled = encode_pairs(cap_idx, img_idx)
 
-            scores = bi_seq(pooled)                      # [B*B, 2]
-            pw_cost = scores[:, 0].reshape(b, b)
+            scores = bi_seq(pooled)                      # [ng*B*B, 2]
+            pw_costs = [scores[g * b * b:(g + 1) * b * b, 0].reshape(b, b)
+                        for g in range(ng)]
             # MLM on diagonal pairs only (identical to taking the
             # diagonal of the full [B, B, W, V] tensor)
             diag = jnp.arange(b) * b + jnp.arange(b)
-            seq_t_diag = seq_out[diag, :max_w]           # [B, W, D]
+            diag_all = jnp.concatenate(
+                [diag + g * b * b for g in range(ng)])
+            seq_t_diag = seq_out[diag_all, :max_w]       # [ng*B, W, D]
         elif t.mmm_loss == "":
-            tokens = jnp.concatenate([caption_emb, image_emb], axis=1)
-            mask = jnp.concatenate([caption_mask, region_mask], axis=1)
+            tokens = jnp.concatenate(
+                [jnp.tile(caption_emb, (ng, 1, 1)), image_emb], axis=1)
+            mask = jnp.concatenate(
+                [jnp.tile(caption_mask, (ng, 1)), region_mask], axis=1)
             seq = encoder(tokens, mask, deterministic=deterministic,
                           raw_additive_mask=raw_mask)
-            pw_cost = None
-            seq_t_diag = seq[:, :max_w]
+            pw_costs = [None] * ng
+            seq_t_diag = seq[:, :max_w]                  # [ng*B, W, D]
         else:
             raise NotImplementedError(t.mmm_loss)
 
-        lm_logits = BertLMHead(c, name="predictions")(
-            seq_t_diag, word_embeddings)                 # [B, W, V]
+        # ONE tied-decoder matmul over both groups' diagonal pairs
+        lm_logits_all = BertLMHead(c, name="predictions")(
+            seq_t_diag, word_embeddings)                 # [ng*B, W, V]
         from ...ops.losses import mean_cross_entropy
-        masked_lm_loss = mean_cross_entropy(lm_logits, target_ids,
-                                            ignore_index=-1)
 
-        losses: Dict[str, jnp.ndarray] = {
-            "Masked Language Modeling Loss": masked_lm_loss}
-        other: Dict[str, jnp.ndarray] = {}
+        results = []
+        for g in range(ng):
+            lm_logits = lm_logits_all[g * b:(g + 1) * b]
+            masked_lm_loss = mean_cross_entropy(lm_logits, target_ids,
+                                                ignore_index=-1)
+            losses: Dict[str, jnp.ndarray] = {
+                "Masked Language Modeling Loss": masked_lm_loss}
+            other: Dict[str, jnp.ndarray] = {}
 
-        acc_num = ((lm_logits.argmax(-1) == target_ids)
-                   & (target_ids >= 0)).sum().astype(jnp.float32)
-        acc_den = (target_ids >= 0).sum().astype(jnp.float32)
-        other["Masked Language Modeling Accuracy"] = jnp.where(
-            acc_den > 0, acc_num / jnp.maximum(acc_den, 1.0), 0.0)
+            acc_num = ((lm_logits.argmax(-1) == target_ids)
+                       & (target_ids >= 0)).sum().astype(jnp.float32)
+            acc_den = (target_ids >= 0).sum().astype(jnp.float32)
+            other["Masked Language Modeling Accuracy"] = jnp.where(
+                acc_den > 0, acc_num / jnp.maximum(acc_den, 1.0), 0.0)
 
-        if t.mmm_loss == "cross_entropy":
-            lc = jax.nn.log_softmax(-pw_cost, axis=0)
-            li = jax.nn.log_softmax(-pw_cost, axis=1)
-            losses["Image Caption Matching Loss"] = (
-                -jnp.diagonal(lc).mean() - jnp.diagonal(li).mean())
-            arange = jnp.arange(b)
-            other["Batch Accuracy (Choose Caption)"] = \
-                (pw_cost.argmin(axis=0) == arange).mean()
-            other["Batch Accuracy (Choose Image)"] = \
-                (pw_cost.argmin(axis=1) == arange).mean()
-        else:
-            losses["Image Caption Matching Loss"] = jnp.float32(0.0)
+            pw_cost = pw_costs[g]
+            if t.mmm_loss == "cross_entropy":
+                lc = jax.nn.log_softmax(-pw_cost, axis=0)
+                li = jax.nn.log_softmax(-pw_cost, axis=1)
+                losses["Image Caption Matching Loss"] = (
+                    -jnp.diagonal(lc).mean() - jnp.diagonal(li).mean())
+                arange = jnp.arange(b)
+                other["Batch Accuracy (Choose Caption)"] = \
+                    (pw_cost.argmin(axis=0) == arange).mean()
+                other["Batch Accuracy (Choose Image)"] = \
+                    (pw_cost.argmin(axis=1) == arange).mean()
+            else:
+                losses["Image Caption Matching Loss"] = jnp.float32(0.0)
 
-        if t.return_dist:
-            return other, losses, {"trans": pw_cost}
-        return other, losses
+            if t.return_dist:
+                results.append((other, losses, {"trans": pw_cost}))
+            else:
+                results.append((other, losses))
+
+        if image2 is None:
+            return results[0]
+        return tuple(results)

@@ -125,6 +125,30 @@ def test_lsm_inference_runs(lsm_setup):
     assert dets.boxes.shape == (2, 8, 4)
 
 
+def test_fused_mmss_pass_matches_unfused(lsm_setup):
+    """TPU.FUSED_MMSS_PASSES merges the grid and box MMSS passes into
+    one transformer-head invocation; per-group losses must match the
+    reference two-pass structure exactly (same params, deterministic)."""
+    cfg, unfused, batch, class_emb = lsm_setup
+    from locov_tpu.models import build_meta_arch
+    assert not unfused.fused_mmss  # default keeps the two-pass structure
+    model = build_meta_arch(cfg, lang_bert_cfg=TINY_LANG,
+                            fused_mmss=True)
+    key = jax.random.PRNGKey(4)
+    params = model.init(key, batch, class_emb, key, method=model.losses)
+    of, lf = model.apply(params, batch, class_emb, key,
+                         method=model.losses)
+    ou, lu = unfused.apply(params, batch, class_emb, key,
+                           method=unfused.losses)
+    assert set(lf) == set(lu) and set(of) == set(ou)
+    for k in lu:
+        np.testing.assert_allclose(np.asarray(lf[k]), np.asarray(lu[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    for k in ou:
+        np.testing.assert_allclose(np.asarray(of[k]), np.asarray(ou[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_lsm_param_structure_has_tied_projection(lsm_setup):
     cfg, model, batch, class_emb = lsm_setup
     key = jax.random.PRNGKey(3)
