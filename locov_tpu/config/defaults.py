@@ -401,6 +401,12 @@ def get_default_cfg() -> CN:
     _C.TPU.PROFILE_DIR = ""
     _C.TPU.PROFILE_START = 100
     _C.TPU.PROFILE_STOP = 105
+    # persistent XLA compilation cache for the production CLI: "auto"
+    # derives a host-keyed dir (utils/misc.compile_cache_dir), "" turns
+    # the cache off, anything else is used as the directory verbatim.
+    # Amortizes large first compiles (the full-int8 eval graph takes
+    # ~14 min cold on a v5e dev tunnel) across restarts and jobs.
+    _C.TPU.COMPILE_CACHE_DIR = "auto"
 
     return _C
 

@@ -86,13 +86,22 @@ def _sig(tree):
 
 def export_inference(model, variables, class_emb, out_dir: str,
                      batch: int, height: int, width: int,
-                     platform: Optional[str] = None) -> str:
+                     platform: Optional[str] = None, mesh=None) -> str:
     """Export ``model.inference`` at static serving shapes.
 
     Returns the path of the serialized ``.jaxexport`` artifact. The
     artifact is lowered for ``platform`` (default: the current default
     backend), independent of where this exporter runs — exporting a TPU
     serving binary from a CPU host works.
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), the program is exported
+    GSPMD-sharded for multi-chip serving: the image batch is split over
+    the mesh's first axis, weights replicated, and XLA plants the
+    collectives. The artifact then targets exactly ``mesh.size``
+    devices — the consumer calls it under the same-shaped mesh
+    (``load_exported`` returns the callable; inputs may be passed as
+    ordinary host arrays and are committed per the recorded shardings).
+    ``batch`` must divide evenly by ``mesh.size``.
     """
     serve = make_serve_fn(model)
     args = (
@@ -102,7 +111,21 @@ def export_inference(model, variables, class_emb, out_dir: str,
         jax.ShapeDtypeStruct((batch, 2), jnp.int32),
         jax.ShapeDtypeStruct(np.shape(class_emb), jnp.float32),
     )
-    fn = jax.jit(serve)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if batch % mesh.size:
+            raise ValueError(
+                f"serving batch {batch} must divide mesh size {mesh.size}")
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(mesh.axis_names[0]))
+        fn = jax.jit(
+            serve,
+            in_shardings=(jax.tree.map(lambda _: repl, variables),
+                          data, data, data, repl),
+            out_shardings={"boxes": data, "scores": data,
+                           "classes": data, "mask": data})
+    else:
+        fn = jax.jit(serve)
     platforms = [platform] if platform else None
     exported = jax.export.export(fn, platforms=platforms)(*args)
 
@@ -128,6 +151,10 @@ def export_inference(model, variables, class_emb, out_dir: str,
                        "class_emb": _sig(args[4])},
             "outputs": _sig(out_sig),
             "platforms": list(exported.platforms),
+            "nr_devices": exported.nr_devices,
+            "mesh": (None if mesh is None else
+                     {"axis_names": list(mesh.axis_names),
+                      "shape": list(mesh.devices.shape)}),
         }, f, indent=2)
     return art
 

@@ -154,6 +154,41 @@ def test_shipped_yaml_matches_reference(name):
     assert ours == ref
 
 
+def test_compile_cache_knob(tmp_path):
+    """TPU.COMPILE_CACHE_DIR plumbs into jax's persistent compilation
+    cache from the production CLI: explicit dir used verbatim, "auto"
+    resolves to the host-keyed dir, "" leaves jax untouched."""
+    import importlib.util
+
+    import jax
+
+    from locov_tpu.utils.misc import compile_cache_dir
+
+    spec = importlib.util.spec_from_file_location(
+        "train_ovnet_mod", os.path.join(REPO, "train_ovnet.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    original = jax.config.jax_compilation_cache_dir
+    try:
+        cfg = get_cfg()
+        cfg.TPU.COMPILE_CACHE_DIR = str(tmp_path / "cache")
+        mod.enable_compile_cache(cfg)
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / "cache")
+
+        cfg.TPU.COMPILE_CACHE_DIR = ""
+        mod.enable_compile_cache(cfg)  # no-op: keeps the previous value
+        assert jax.config.jax_compilation_cache_dir == \
+            str(tmp_path / "cache")
+
+        cfg.TPU.COMPILE_CACHE_DIR = "auto"
+        mod.enable_compile_cache(cfg)
+        assert jax.config.jax_compilation_cache_dir == compile_cache_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", original)
+
+
 def test_global_contrastive_yaml_inherits_lsm():
     """coco_lsm_global.yaml = coco_lsm.yaml + the TPU scope overrides
     (_BASE_ inheritance): the training recipe must stay value-identical

@@ -86,6 +86,57 @@ def test_exported_program_matches_model_apply(tiny_export):
                                   np.asarray(want["mask"]))
 
 
+def test_sharded_export_multichip_serving(tiny_export, tmp_path):
+    """GSPMD serving export: the same inference program exported over an
+    8-device mesh (batch split over the data axis, weights replicated)
+    must round-trip and agree with the single-device artifact."""
+    model, variables, image, hw, orig_hw, class_emb, out, _ = tiny_export
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from locov_tpu.parallel import get_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = get_mesh(jax.devices()[:8])
+
+    # batch 2 doesn't divide 8 — replicate the two images to batch 8
+    reps = 4
+    image8 = jnp.tile(image, (reps, 1, 1, 1))
+    hw8, orig8 = jnp.tile(hw, (reps, 1)), jnp.tile(orig_hw, (reps, 1))
+
+    sharded_dir = str(tmp_path / "sharded")
+    export_inference(model, variables, class_emb, sharded_dir,
+                     batch=8, height=64, width=64, mesh=mesh)
+
+    sig = json.load(open(os.path.join(sharded_dir, "signature.json")))
+    assert sig["nr_devices"] == 8
+    assert sig["mesh"]["shape"] == [8]
+
+    call, v2, ce2 = load_exported(sharded_dir)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    got = call(jax.device_put(v2, repl),
+               jax.device_put(image8, data),
+               jax.device_put(hw8, data),
+               jax.device_put(orig8, data),
+               jax.device_put(ce2, repl))
+
+    serve = make_serve_fn(model)
+    want = serve(variables, image8, hw8, orig8, class_emb)
+    for k in ("boxes", "scores"):
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(want[k]),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got["classes"]),
+                                  np.asarray(want["classes"]))
+
+    # batch must divide the mesh
+    with pytest.raises(ValueError):
+        export_inference(model, variables, class_emb,
+                         str(tmp_path / "bad"), batch=6, height=64,
+                         width=64, mesh=mesh)
+
+
 def test_exported_program_rejects_wrong_shapes(tiny_export):
     _, _, image, hw, orig_hw, _, out, _ = tiny_export
     call, v2, ce2 = load_exported(out)

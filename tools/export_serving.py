@@ -48,6 +48,12 @@ def main():
     p.add_argument("--platform", default=None,
                    help="lowering platform (tpu/cpu/cuda); default = "
                         "current backend")
+    p.add_argument("--n-devices", type=int, default=1,
+                   help="export a GSPMD-sharded program for N-chip "
+                        "serving (batch split over a 1D data mesh, "
+                        "weights replicated); needs N visible devices "
+                        "at export time and targets exactly N at call "
+                        "time")
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args()
 
@@ -89,9 +95,17 @@ def main():
         variables = load_weights_standalone(variables, args.weights,
                                             report_dir=args.out)
 
+    mesh = None
+    if args.n_devices > 1:
+        from locov_tpu.parallel import get_mesh
+        assert len(jax.devices()) >= args.n_devices, (
+            f"--n-devices {args.n_devices} but only "
+            f"{len(jax.devices())} devices visible")
+        mesh = get_mesh(jax.devices()[:args.n_devices])
+
     art = export_inference(model, variables, class_emb, args.out,
                            args.batch, args.height, args.width,
-                           platform=args.platform)
+                           platform=args.platform, mesh=mesh)
     print(f"exported: {art}")
 
 

@@ -53,8 +53,23 @@ def setup(args):
     return cfg
 
 
+def enable_compile_cache(cfg) -> None:
+    """Point jax at a persistent compilation cache per
+    cfg.TPU.COMPILE_CACHE_DIR ("auto" = host-keyed default dir, "" =
+    off). Must run before the first compile; safe to call repeatedly."""
+    target = cfg.TPU.COMPILE_CACHE_DIR
+    if not target:
+        return
+    import jax
+    from locov_tpu.utils.misc import compile_cache_dir
+    if target == "auto":
+        target = compile_cache_dir()
+    jax.config.update("jax_compilation_cache_dir", target)
+
+
 def main(args):
     cfg = setup(args)
+    enable_compile_cache(cfg)
 
     from locov_tpu.data import get_register_dataset
     from locov_tpu.engine.trainer import OVRTrainer
