@@ -158,6 +158,19 @@ def _conv_frozen_bn(x, features, kernel, stride, name, dtype,
         # EVAL 54 -> 46. Kept only as recorded evidence (PERF.md).
         from ..ops.stem_conv import conv1x1
         out = conv1x1(x.astype(cdt), wk[0, 0].astype(cdt), stride)
+    elif kernel == 3 and stride == 1 and \
+            x.shape[1] * x.shape[2] <= 256 and \
+            __import__("os").environ.get("LOCOV_DOT_3X3_WGRAD") == "1":
+        # small-spatial (res5 ROI path) 3x3: XLA fwd/dx + dot-formulated
+        # wgrad (ops/stem_conv.py:conv3x3), targeting the profiled res5
+        # wgrad gap (PERF.md round-4). MEASURED DEAD END #8 (round-5
+        # same-session A/B): 9-slice-dot form NEUTRAL (33.35/33.28 vs
+        # 32.93/33.41 img/s baseline); a conv_general_dilated_patches
+        # form catastrophic (21.3 — the patches op is pathological on
+        # TPU, third confirmation). Evidence only; the H*W gate keeps
+        # it off the big-spatial trunk and LSM grid paths.
+        from ..ops.stem_conv import conv3x3
+        out = conv3x3(x.astype(cdt), wk.astype(cdt))
     elif kernel == 7 and stride == 2 and \
             __import__("os").environ.get("LOCOV_S2D_STEM_WGRAD") == "1":
         # stem conv: custom wgrad via space-to-depth (ops/stem_conv.py)

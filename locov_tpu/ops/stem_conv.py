@@ -126,3 +126,61 @@ def _c1_bwd(stride, res, g):
 
 
 conv1x1.defvjp(_c1_fwd, _c1_bwd)
+
+
+# ---------------------------------------------------- small-spatial 3x3
+def _conv3(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=_DN)
+
+
+@jax.custom_vjp
+def conv3x3(x, w):
+    """3x3/stride-1/pad-1 conv, XLA forward + dx, ONE-matmul weight
+    gradient — for the SMALL-SPATIAL res5 case ([~800 ROIs, 7, 7, C]
+    after the stride-in-1x1 conv1), where XLA's spatial wgrad
+    convolution is the profiled gap between res5's 25 ms and its
+    ~8.5 ms MXU FLOPs floor (PERF.md round-4 profile; reference res5 =
+    d2 ``ResNet.make_stage``, /root/reference/ovr/modeling/roi_heads/
+    roi_emb_heads.py:216-241).
+
+    dW is computed as patches(x_pad) contracted against the output
+    cotangent in one [M, 9C]^T @ [M, F] matmul (M = N·H·W ≈ 39k rows at
+    res5 shapes — contraction-deep and lane-aligned, 9C = 4608 for
+    C=512). The patches tensor is 9x the activation (≈360 MB bf16 at
+    res5 train shapes) — affordable ONLY at small spatial dims; callers
+    gate on H*W (resnet.py). Identical contraction set to the conv
+    wgrad, f32 accumulation; golden vs jax.grad of the plain conv
+    (tests/test_stem_conv.py)."""
+    return _conv3(x, w)
+
+
+def _c3_fwd(x, w):
+    return _conv3(x, w), (x, w)
+
+
+def _c3_bwd(res, g):
+    x, w = res
+    _, vjp_x = jax.vjp(lambda x_: _conv3(x_, w), x)
+    dx, = vjp_x(g)
+    n, h, wd, c = x.shape
+    f = w.shape[3]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    m = n * h * wd
+    gm = g.reshape(m, f)
+    # nine shifted-slice dots, NOT conv_general_dilated_patches (the
+    # patches op is pathological on TPU — measured at the stem round 3
+    # AND here: a patches-form of THIS wgrad benched 21.3 vs 32.9
+    # img/s on the full LSM step)
+    taps = []
+    for ky in range(3):
+        for kx in range(3):
+            xs = lax.slice(xp, (0, ky, kx, 0), (n, ky + h, kx + wd, c))
+            taps.append(jnp.einsum(
+                "mc,mf->cf", xs.reshape(m, c), gm,
+                preferred_element_type=jnp.float32))
+    dw = jnp.stack(taps).reshape(3, 3, c, f)
+    return dx, dw.astype(w.dtype)
+
+
+conv3x3.defvjp(_c3_fwd, _c3_bwd)

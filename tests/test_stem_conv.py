@@ -52,3 +52,25 @@ def test_conv1x1_grads_match():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_grads_match():
+    """conv3x3's one-matmul patches wgrad vs jax.grad of the plain conv
+    at res5-like small-spatial shapes (incl. non-square, C != F)."""
+    from locov_tpu.ops.stem_conv import _conv3, conv3x3
+    k = jax.random.PRNGKey(2)
+    for shape, cf in (((5, 7, 7, 12), (12, 16)), ((3, 4, 6, 8), (8, 8))):
+        kx, kw, k = jax.random.split(k, 3)
+        x = jax.random.normal(kx, shape)
+        w = jax.random.normal(kw, (3, 3) + cf) * 0.1
+        np.testing.assert_allclose(np.asarray(conv3x3(x, w)),
+                                   np.asarray(_conv3(x, w)),
+                                   rtol=1e-5, atol=1e-5)
+        f = lambda x, w: jnp.sum(jnp.sin(conv3x3(x, w)))
+        r = lambda x, w: jnp.sum(jnp.sin(_conv3(x, w)))
+        gx, gw = jax.grad(f, (0, 1))(x, w)
+        rx, rw = jax.grad(r, (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                                   rtol=1e-4, atol=1e-4)
