@@ -154,6 +154,34 @@ def test_shipped_yaml_matches_reference(name):
     assert ours == ref
 
 
+def test_make_synthetic_dataset_tool(tmp_path):
+    """tools/make_synthetic_dataset.py: the zero-data quickstart emits a
+    complete dataset tree + a micro.yaml that merges and registers."""
+    import subprocess
+    import sys as _sys
+
+    for arch, train_ds in [
+            ("OvrRCNN", "coco_zeroshot_train"),
+            ("DistillProposalMMSSRCNN",
+             "coco_captions_train_seen_proposals")]:
+        out = str(tmp_path / arch)
+        r = subprocess.run(
+            [_sys.executable,
+             os.path.join(REPO, "tools", "make_synthetic_dataset.py"),
+             "--out", out, "--arch", arch],
+            capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(os.path.join(
+            out, "datasets_data", "coco", "annotations",
+            "instances_train2017.json"))
+        cfg = get_cfg()
+        cfg.merge_from_file(os.path.join(out, "micro.yaml"))
+        assert cfg.MODEL.META_ARCHITECTURE == arch
+        assert cfg.DATASETS.TRAIN == (train_ds,)
+        from locov_tpu.data import get_register_dataset
+        get_register_dataset(train_ds)  # name resolves to a registrar
+
+
 def test_compile_cache_knob(tmp_path):
     """TPU.COMPILE_CACHE_DIR plumbs into jax's persistent compilation
     cache from the production CLI: explicit dir used verbatim, "auto"
