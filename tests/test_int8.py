@@ -100,6 +100,25 @@ def tiny_stt():
     return cfg, batch, class_emb, build_meta_arch
 
 
+def _tame_rpn(variables):
+    """Zero the RPN anchor-delta head so proposals decode to the
+    anchors themselves (valid, non-degenerate boxes). At random init
+    the trunk's activations are huge (FrozenBN folds to identity) and
+    the decoded proposals can ALL collapse to zero-area boxes clipped
+    at the image corners — which ulp-level codegen differences across
+    hosts can flip, making any `amax > 0` assertion a coin toss
+    (observed: same seed, degenerate on one host, fine on another).
+    Anchors-as-proposals keeps the full RPN+ROI graph in the compiled
+    program while making its content deterministic."""
+    import flax
+    flat = flax.traverse_util.flatten_dict(variables["params"])
+    for path in list(flat):
+        if "anchor_deltas" in path:
+            flat[path] = jnp.zeros_like(flat[path])
+    params = flax.traverse_util.unflatten_dict(flat)
+    return {**variables, "params": params}
+
+
 def test_conv_int8_static_matches_dynamic_with_true_amax(rng):
     # with amax = the tensor's true max, the static path must produce
     # exactly the dynamic path's result (same scale, same int math)
@@ -124,12 +143,14 @@ def test_int8_static_calibrate_flow(tiny_stt):
     cfg.TPU.INT8_EVAL = True
     cfg.TPU.INT8_SCHEME = "dynamic"
     mdyn = build(cfg)
-    pdyn = mdyn.init(key, batch, class_emb, method=mdyn.inference)
+    pdyn = _tame_rpn(mdyn.init(key, batch, class_emb,
+                               method=mdyn.inference))
     dets_dyn = mdyn.apply(pdyn, batch, class_emb, method=mdyn.inference)
 
     cfg.TPU.INT8_SCHEME = "static"
     msta = build(cfg)
-    vs = msta.init(key, batch, class_emb, method=msta.inference)
+    vs = _tame_rpn(msta.init(key, batch, class_emb,
+                             method=msta.inference))
     assert "quant" in vs
     _, upd = msta.apply(vs, batch, class_emb,
                         method=msta.calibrate_int8, mutable=["quant"])
@@ -159,9 +180,9 @@ def test_int8_calibrate_step_on_mesh(tiny_stt):
     cfg.TPU.INT8_EVAL = True
     cfg.TPU.INT8_SCHEME = "static"
     model = build(cfg)
-    params = jax.jit(
+    params = _tame_rpn(jax.jit(
         lambda d, c: model.init(jax.random.PRNGKey(0), d, c,
-                                method=model.inference))(batch, class_emb)
+                                method=model.inference))(batch, class_emb))
     mesh = get_mesh(jax.devices()[:2])  # fixture batch is 2
     cal = make_calibrate_step(model, mesh)
     quant = cal(params, batch, class_emb)
@@ -187,13 +208,15 @@ def test_int8_eval_end_to_end(tiny_stt):
     key = jax.random.PRNGKey(0)
 
     model = build(cfg)
-    params = model.init(key, batch, class_emb, method=model.inference)
+    params = _tame_rpn(model.init(key, batch, class_emb,
+                                  method=model.inference))
 
     cfg.TPU.INT8_EVAL = True
     model8 = build(cfg)
     # same param tree: quantization is forward-only, checkpoints load
     # unchanged
-    params8 = model8.init(key, batch, class_emb, method=model8.inference)
+    params8 = _tame_rpn(model8.init(key, batch, class_emb,
+                                    method=model8.inference))
     assert jax.tree_util.tree_structure(params) == \
         jax.tree_util.tree_structure(params8)
 
